@@ -1,0 +1,307 @@
+"""Static simulation configuration.
+
+Everything the compiled step function's *trace* depends on lives here, as a
+frozen (hashable) dataclass: shapes, feature flags, potential families in
+play, cell-grid geometry, and physical constants that never change during a
+run.  This plays the role of the scalar half of the reference's ``cudaMD``
+mega-struct (reference: src/cuStruct.h:188-423) — but split out so that XLA
+sees them as compile-time constants instead of loaded scalars.
+
+Dynamic arrays (positions, force-field parameter tables, counters) live in
+``MDState`` / ``ForceField``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dfield
+
+from .. import units
+from ..io.control import (ELEC_EWALD, ELEC_FENNEL, ELEC_NONE, TSTAT_NONE,
+                          TSTAT_NOSE, ControlSpec)
+from ..io.field import FieldSpec
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class CellGrid:
+    """Cell-list geometry (replaces src/cuCellList.cu:9-34 ``split_cells``).
+
+    The box is divided into ``dims`` cells; each cell holds at most ``cap``
+    atoms in a fixed-shape (n_cell, cap) index table.  ``stencil`` is the
+    static tuple of (dx, dy, dz) cell offsets that can contain an atom
+    within the interaction cutoff — the TPU replacement for the reference's
+    precomputed cell-pair lists (cuCellList.cu:134-211).
+    """
+    dims: tuple                 # (ncx, ncy, ncz)
+    cap: int                    # max atoms per cell (power-of-2 padded)
+    stencil: tuple              # ((dx,dy,dz), ...) including (0,0,0)
+    edge: tuple                 # cell edge lengths
+
+    @property
+    def n_cell(self) -> int:
+        return self.dims[0] * self.dims[1] * self.dims[2]
+
+
+def make_cell_grid(box, r_max: float, n_at: int,
+                   target_occupancy: float = 4.0,
+                   cap_safety: float = 4.0,
+                   max_cells: int = 1 << 21,
+                   pos=None) -> CellGrid:
+    """Choose a cell grid for a given box and cutoff.
+
+    Unlike the reference (which takes the desired cell size from the
+    ``cell_list`` directive and requires edge >= rcut, cuCellList.cu:9-34),
+    we pick the grid for the hardware: cells no smaller than needed to keep
+    the per-atom candidate count low, but few enough that the (n_cell, cap)
+    table and (n_at, n_stencil*cap) pair matrix stay HBM-friendly.  When a
+    cell edge is below the cutoff the stencil simply widens, so any edge is
+    correct.
+    """
+    if r_max <= 0.0:
+        raise ValueError("r_max must be positive")
+    dims = []
+    for length in box:
+        # aim for edge ~ r_max but limit total cells
+        n = max(1, int(length / r_max))
+        dims.append(n)
+    # limit total number of cells (dilute systems: huge box, small cutoff)
+    while dims[0] * dims[1] * dims[2] > max_cells or \
+            (n_at / max(1, dims[0] * dims[1] * dims[2])) < 1.0 / target_occupancy:
+        # shrink the largest dimension
+        i = max(range(3), key=lambda k: dims[k])
+        if dims[i] == 1:
+            break
+        dims[i] = max(1, dims[i] // 2)
+    dims = tuple(dims)
+    n_cell = dims[0] * dims[1] * dims[2]
+    edge = tuple(length / n for length, n in zip(box, dims))
+
+    # stencil: all offsets whose nearest approach is within r_max
+    def reach(d, e):
+        return max(0.0, (abs(d) - 1)) * e
+    stencil = []
+    sx = [int(math.ceil(r_max / e)) for e in edge]
+    for dx in range(-sx[0], sx[0] + 1):
+        for dy in range(-sx[1], sx[1] + 1):
+            for dz in range(-sx[2], sx[2] + 1):
+                d2 = (reach(dx, edge[0]) ** 2 + reach(dy, edge[1]) ** 2
+                      + reach(dz, edge[2]) ** 2)
+                if d2 <= r_max * r_max:
+                    stencil.append((dx, dy, dz))
+    # periodic wrap can alias offsets on tiny grids; deduplicate mod dims
+    seen, dedup = set(), []
+    for off in stencil:
+        key = tuple(o % d for o, d in zip(off, dims))
+        if key not in seen:
+            seen.add(key)
+            dedup.append(off)
+
+    avg = n_at / n_cell
+    cap = _round_up(max(4, int(math.ceil(avg * cap_safety))), 4)
+    if pos is not None:
+        # measure the real occupancy of the starting configuration and pad
+        # (the cell_overflow monitor catches later density fluctuations)
+        import numpy as np
+        p = np.asarray(pos, dtype=np.float64)
+        c = np.floor(p / np.asarray(edge)).astype(np.int64) % np.asarray(dims)
+        cid = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+        occ = int(np.bincount(cid, minlength=n_cell).max())
+        cap = max(cap, _round_up(occ * 2, 4))
+    cap = min(cap, _round_up(n_at, 4))
+    return CellGrid(dims=dims, cap=cap, stencil=tuple(dedup), edge=edge)
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    """Hashable static configuration; closed over by the jitted step."""
+    n_at: int
+    n_spec: int
+    n_nucl: int
+    box: tuple                  # (la, lb, lc)
+    dt: float
+
+    # feature flags
+    tstat_type: int = TSTAT_NONE
+    elec_type: int = ELEC_NONE
+    ejtype: int = 0
+    ejump_freq: int = 0
+    use_bnd: int = 0            # 0 none / 1 constant / 2 variable
+    use_angl: int = 0           # 0 none / 1 constant / 2 variable
+    use_linkage: int = 0
+    vdw_families: tuple = ()    # sorted tuple of VDW_* ids present
+    bond_kinds: tuple = ()
+    use_radii: bool = False     # any radius-dependent potential present
+    n_bond_types: int = 0
+    n_angle_types: int = 0
+
+    # cutoffs
+    r_max: float = 0.0          # global pair cutoff (sys_init.cpp:1060-1072)
+    r2_max: float = 0.0
+    r2_elec: float = 0.0        # e-jump radius^2
+    d_ejump: float = 0.0
+
+    # electrostatics constants (elec.cpp:371-406 prepare_elec)
+    alpha: float = 0.0
+    eps: float = 1.0
+    coul_scale: float = units.FCOUL_SCALE
+    fennel_c1: float = 0.0      # erfc(aRc)/Rc
+    fennel_c2: float = 0.0      # erfc(aRc)/Rc^2 + 2a/sqrt(pi) exp(-(aRc)^2)/Rc
+    daipi2: float = 0.0         # 2 alpha / sqrt(pi)
+    r_real: float = 0.0
+    # Ewald reciprocal space
+    kmax: tuple = (0, 0, 0)
+    rkcut2: float = 0.0
+    ewald_scale: float = 0.0    # 4 pi / V * Fcoul / eps
+    eng_ewald_const: float = 0.0  # self + neutralizing background terms
+
+    # thermostat constants (sys_init.cpp:1099-1111)
+    temp: float = 0.0
+    te_kin: float = 0.0         # target kinetic energy
+    deg_free: int = 0
+    rqmass: float = 0.0
+    qmass_tau2: float = 0.0
+    tstat_step: int = 0
+    n_equil: int = 0
+    freq_equil: int = 0
+    reset_vels: int = 0
+
+    # external field
+    ext_field: tuple = (0.0, 0.0, 0.0)
+
+    # cell grid
+    grid: CellGrid | None = None
+
+    # capacities
+    mx_bond: int = 0
+    mx_angle: int = 0
+    n_free_el: int = 0
+    max_neigh: int = 50
+
+    # pressure ring buffer (cuInit.cu:921 nMom=20)
+    n_mom: int = 20
+
+    # compute dtype: "f32" (reference GPU parity) or "f64" (validation)
+    dtype: str = "f32"
+
+    @property
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+        return jnp.float64 if self.dtype == "f64" else jnp.float32
+
+    @property
+    def half_box(self):
+        return tuple(0.5 * b for b in self.box)
+
+    @property
+    def volume(self) -> float:
+        return self.box[0] * self.box[1] * self.box[2]
+
+
+def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
+                     n_bonds_init: int = 0, dtype: str = "f32",
+                     target_occupancy: float = 4.0,
+                     max_cells: int = 1 << 21,
+                     mx_bond: int | None = None,
+                     mx_angle: int | None = None,
+                     pos=None) -> SimConfig:
+    """Derive the static config from parsed decks.
+
+    Mirrors init_md (sys_init.cpp:1036-1121) + prepare_elec
+    (elec.cpp:371-406) + init_cudaMD scalar setup.
+    """
+    use_bnd = fld.use_bnd
+    if ctl.ejump != 0 and use_bnd == 1:
+        use_bnd = 2             # bonds may mutate during e-transfer
+
+    # global cutoff
+    r_max = 0.0
+    if ctl.elec.type:
+        r_max = ctl.elec.r_real
+    else:
+        if fld.pairpots:
+            r_max = fld.maxRvdw
+        if use_bnd == 2:
+            r_max = max(r_max, fld.maxRbind)
+        if ctl.ejump != 0:
+            r_max = max(r_max, ctl.r_elec)
+    if r_max <= 0.0:
+        raise ValueError("no interactions: r_max is zero")
+
+    grid = make_cell_grid(box, r_max, n_at,
+                          target_occupancy=target_occupancy,
+                          max_cells=max_cells, pos=pos)
+
+    # degrees of freedom and thermostat constants (sys_init.cpp:1099-1111)
+    deg_free = 3 * n_at - n_bonds_init
+    if ctl.tstat.type:
+        deg_free -= 1
+    te_kin = 0.5 * ctl.tstat.temp * units.KB * deg_free
+    rqmass = qmass_tau2 = 0.0
+    if ctl.tstat.type == TSTAT_NOSE:
+        rqmass = 0.5 / te_kin / ctl.tstat.tau / ctl.tstat.tau
+        qmass_tau2 = 2.0 * te_kin
+
+    # electrostatics constants
+    alpha = ctl.elec.alpha
+    fennel_c1 = fennel_c2 = daipi2 = 0.0
+    rkcut2 = ewald_scale = 0.0
+    kmax = (0, 0, 0)
+    if ctl.elec.type == ELEC_FENNEL:
+        a_rc = alpha * ctl.elec.r_real
+        daipi2 = 2.0 * alpha / units.SQRTPI
+        fennel_c1 = math.erfc(a_rc) / ctl.elec.r_real
+        fennel_c2 = (math.erfc(a_rc) / ctl.elec.r_real ** 2
+                     + daipi2 * math.exp(-a_rc * a_rc) / ctl.elec.r_real)
+    elif ctl.elec.type == ELEC_EWALD:
+        daipi2 = 2.0 * alpha / units.SQRTPI
+        kmax = (ctl.elec.kx, ctl.elec.ky, ctl.elec.kz)
+        vol = box[0] * box[1] * box[2]
+        # elec.cpp:381: scale = 2*2pi/V * Fcoul / eps
+        ewald_scale = 2.0 * units.TWOPI / vol * units.FCOUL_SCALE / ctl.elec.eps
+        rkcut = min(kmax[0] / box[0], kmax[1] / box[1], kmax[2] / box[2])
+        rkcut *= units.TWOPI * 1.05
+        rkcut2 = rkcut * rkcut
+
+    n_free_el = 0
+    if ctl.ejump != 0:
+        n_free_el = sum(s.nFreeEl for s in fld.species) and n_at or 0
+    # (recomputed properly by the runtime from actual atom types)
+
+    families = tuple(sorted({p.type for p in fld.pairpots}))
+    bond_kinds = tuple(sorted({b.type for b in fld.bonds[1:]}))
+
+    if mx_bond is None:
+        mx_bond = _round_up(max(16, 2 * n_bonds_init + (4096 if use_bnd == 2 else 0)), 16) \
+            if use_bnd else 0
+    if mx_angle is None:
+        mx_angle = _round_up(max(16, 4096), 16) if fld.use_angl else 0
+
+    return SimConfig(
+        n_at=n_at, n_spec=fld.nSpec, n_nucl=len(fld.nnames),
+        box=tuple(map(float, box)), dt=ctl.t_step,
+        tstat_type=ctl.tstat.type, elec_type=ctl.elec.type,
+        ejtype=ctl.ejtype, ejump_freq=ctl.ejump,
+        use_bnd=use_bnd, use_angl=fld.use_angl,
+        use_linkage=fld.use_linkage,
+        vdw_families=families, bond_kinds=bond_kinds,
+        use_radii=any(p.use_radii for p in fld.pairpots),
+        n_bond_types=len(fld.bonds), n_angle_types=len(fld.angles),
+        r_max=r_max, r2_max=r_max * r_max,
+        r2_elec=ctl.r2_elec, d_ejump=ctl.d_ejump,
+        alpha=alpha, eps=ctl.elec.eps,
+        fennel_c1=fennel_c1, fennel_c2=fennel_c2, daipi2=daipi2,
+        r_real=ctl.elec.r_real, kmax=kmax, rkcut2=rkcut2,
+        ewald_scale=ewald_scale,
+        temp=ctl.tstat.temp, te_kin=te_kin, deg_free=deg_free,
+        rqmass=rqmass, qmass_tau2=qmass_tau2, tstat_step=ctl.tstat.step,
+        n_equil=ctl.n_equil, freq_equil=ctl.freq_equil,
+        reset_vels=ctl.reset_vels,
+        ext_field=(ctl.ux, ctl.uy, ctl.uz),
+        grid=grid, mx_bond=mx_bond, mx_angle=mx_angle,
+        n_free_el=n_free_el, max_neigh=ctl.max_neigh,
+        dtype=dtype,
+    )

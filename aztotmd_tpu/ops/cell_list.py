@@ -1,0 +1,88 @@
+"""Bucketed cell list — the TPU replacement for the reference's
+counting-sort + cell-pair machinery (reference: src/cuSort.cu:114-197
+``count_cell``/``sort_atoms``; src/cuCellList.cu:9-34 ``split_cells``,
+:134-211 ``add_cell_pairs``).
+
+Instead of per-step counting sort into double-buffered arrays plus a
+serial prefix-sum kernel (cuSort.cu:130-143, a known bottleneck), atoms are
+binned into a fixed-shape (n_cell, cap) index table with one `argsort` —
+a single fused XLA op chain, no atomics, no host round-trip.  Overflowing
+atoms are *dropped from the table* and reported via the returned occupancy
+maximum so the runtime can rebuild with a larger capacity (the reference
+instead corrupts memory and prints, cuMDfunc.cu:264-265).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def cell_coords(cfg, pos):
+    """Integer cell coordinates per atom (periodic wrap for robustness
+    against slightly out-of-box positions)."""
+    dims = jnp.asarray(cfg.grid.dims, jnp.int32)
+    scale = jnp.asarray([cfg.grid.dims[k] / cfg.box[k] for k in range(3)],
+                        pos.dtype)
+    c = jnp.floor(pos * scale).astype(jnp.int32)
+    return c % dims
+
+
+def cell_ids(cfg, coords):
+    _, ncy, ncz = cfg.grid.dims
+    return (coords[..., 0] * ncy + coords[..., 1]) * ncz + coords[..., 2]
+
+
+def build_cell_table(cfg, pos):
+    """Build the (n_cell, cap) atom-index table.
+
+    Returns (table, max_occupancy).  Empty slots hold the sentinel index
+    ``n_at`` (callers pad per-atom arrays with one extra row).
+    """
+    N = cfg.n_at
+    grid = cfg.grid
+    cap = grid.cap
+    n_cell = grid.n_cell
+
+    cid = cell_ids(cfg, cell_coords(cfg, pos))            # (N,)
+    order = jnp.argsort(cid)                              # stable
+    sorted_cid = cid[order]
+    # rank of each atom within its cell = position - first position of cell
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(N, dtype=jnp.int32) - first.astype(jnp.int32)
+
+    slot = sorted_cid * cap + rank
+    # drop overflowing atoms (rank >= cap) via out-of-range scatter index
+    slot = jnp.where(rank < cap, slot, n_cell * cap)
+    table = jnp.full((n_cell * cap,), N, dtype=jnp.int32)
+    table = table.at[slot].set(order.astype(jnp.int32), mode="drop")
+
+    max_occ = jnp.max(rank) + 1
+    return table.reshape(n_cell, cap), max_occ
+
+
+def stencil_offsets(cfg):
+    """Static (S, 3) array of neighbor-cell offsets."""
+    return np.asarray(cfg.grid.stencil, dtype=np.int32)
+
+
+def gather_candidates(cfg, table, coords):
+    """Per-atom candidate neighbor indices.
+
+    coords: (N, 3) integer cell coordinates of each atom.
+    Returns (N, S*cap) int32 candidate atom ids (sentinel = n_at).
+
+    This replaces the reference's cell-pair traversal kernels
+    (cuPairs.cu:1180-2057 cell_list4/5 family): every atom reads the atom
+    lists of its stencil cells; forces are accumulated on the reading atom
+    only, so Newton's third law is recomputed instead of scattered —
+    race-free and perfectly regular for the VPU.
+    """
+    grid = cfg.grid
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    offs = jnp.asarray(stencil_offsets(cfg))              # (S, 3)
+    ncoord = (coords[:, None, :] + offs[None, :, :]) % dims   # (N, S, 3)
+    _, ncy, ncz = grid.dims
+    ncid = (ncoord[..., 0] * ncy + ncoord[..., 1]) * ncz + ncoord[..., 2]
+    cand = table[ncid]                                    # (N, S, cap)
+    return cand.reshape(cand.shape[0], -1)                # (N, S*cap)

@@ -1,0 +1,195 @@
+"""Electron hopping (redox charge transfer between species).
+
+TPU re-design of reference src/cuEjump.cu (``try_to_jump`` :39-76,
+``cuda_ejump`` :78-332) and its serial twin src/ejump.cpp (:168-590):
+
+* candidate (donor -> nearest acceptor) pairs come from the pair pass
+  (ops.pairs ``want_jump``), replacing the atomicMin registration;
+* dU is evaluated over the *bonded neighborhood* like the CUDA kernel:
+  per-atom mutation energies dU_ox / dU_red are accumulated over the live
+  bond table with segment sums (VdW difference + Coulomb difference +
+  bond-energy difference), then combined per candidate pair, plus the
+  external-field term and the species own-energy difference (the serial
+  engine includes own energies, ejump.cpp:238-247; the CUDA kernel carries
+  a "!add own energy" TODO at cuEjump.cu:229 — we implement the physics);
+* acceptance: eq (|dU| < dEjump), min (dU < 0), or full Metropolis
+  (the CUDA branch is a stub at cuEjump.cu:238-246; the serial engine's
+  exp(-dU/kT) scheme, ejump.cpp:545-560, is implemented here);
+* the double atomicCAS type swap becomes a deterministic lowest-donor-wins
+  claim on acceptors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import units
+from ..io.control import JUMP_EQ, JUMP_METR, JUMP_MIN
+from .bonds import bond_eval, _evol_bondtype
+from .pairs import min_image
+from .vdw import vdw_eval
+
+
+def _vdw_energy(cfg, ff, t1, t2, r2, r):
+    """VdW energy between species t1 and t2 at distance r (eng_r twins),
+    respecting the per-pair cutoff."""
+    nsp = cfg.n_spec
+    tp = t1 * nsp + t2
+    kind = ff.vdw_kind.reshape(-1)[tp]
+    p = ff.vdw_p.reshape(-1, 5)[tp]
+    r2cut = ff.vdw_r2cut.reshape(-1)[tp]
+    kind = jnp.where(r2 <= r2cut, kind, 0)
+    _, e = vdw_eval(kind, p, r2, r, None, None,
+                    families=tuple(f for f in cfg.vdw_families if f != 7))
+    return e
+
+
+def _bond_energy(cfg, ff, bt, r2, r):
+    kind = jnp.where(bt != 0, ff.bond_kind[bt], 0)
+    _, e = bond_eval(kind, ff.bond_p[bt], r2, r, kinds=cfg.bond_kinds)
+    return jnp.where(bt != 0, e, 0.0)
+
+
+def _mutation_energies(cfg, ff, state):
+    """Per-atom energy change of switching atom i to its ox / red form,
+    summed over its bonded neighborhood (cuEjump.cu:131-216)."""
+    N = cfg.n_at
+    types = state.types
+    at1, at2, bt = state.bond_at1, state.bond_at2, state.bond_type
+    live = bt != 0
+
+    pos = state.pos
+    delta = min_image(pos[at1] - pos[at2], cfg)
+    r2 = jnp.where(live, jnp.sum(delta * delta, axis=-1), 1.0)
+    r = jnp.sqrt(r2)
+
+    t1 = types[at1]
+    t2 = types[at2]
+    e_cur = _bond_energy(cfg, ff, jnp.where(live, bt, 0), r2, r)
+
+    dU_ox = jnp.zeros((N,), pos.dtype)
+    dU_red = jnp.zeros((N,), pos.dtype)
+
+    for which, table in (("ox", ff.spec_oxform), ("red", ff.spec_redform)):
+        for side in (0, 1):
+            me = at1 if side == 0 else at2
+            nei = at2 if side == 0 else at1
+            tme = t1 if side == 0 else t2
+            tnei = t2 if side == 0 else t1
+            new_t = table[tme] - 1                  # -1 = no form
+            ok = live & (new_t >= 0)
+            new_t_safe = jnp.maximum(new_t, 0)
+            # VdW difference
+            dvdw = _vdw_energy(cfg, ff, new_t_safe, tnei, r2, r) \
+                - _vdw_energy(cfg, ff, tme, tnei, r2, r)
+            # Coulomb difference (simplest assumption, cuEjump.cu:160)
+            dq = ff.spec_charge[new_t_safe] - ff.spec_charge[tme]
+            dcoul = cfg.coul_scale * ff.spec_charge[tnei] / r * dq
+            # bond-energy difference: current type vs evolved type
+            s1n = jnp.where(side == 0, new_t_safe, tnei)
+            s2n = jnp.where(side == 0, tnei, new_t_safe)
+            nbt = _evol_bondtype(ff, bt, s1n, s2n)
+            e_new = _bond_energy(cfg, ff, jnp.abs(nbt), r2, r)
+            dbond = e_new - e_cur
+            contrib = jnp.where(ok, dvdw + dcoul + dbond, 0.0)
+            idx = jnp.where(ok, me, N)
+            if which == "ox":
+                dU_ox = dU_ox.at[idx].add(contrib, mode="drop")
+            else:
+                dU_red = dU_red.at[idx].add(contrib, mode="drop")
+    return dU_ox, dU_red
+
+
+def do_jumps(cfg, ff, state, jump_idx):
+    """Perform electron jumps for donor atoms with candidate acceptors.
+    jump_idx[i] = nearest acceptor of donor i (sentinel n_at)."""
+    N = cfg.n_at
+    dt = state.pos.dtype
+    types = state.types
+    me = jnp.arange(N, dtype=jnp.int32)
+
+    don = (ff.spec_donacc[types] & 1) != 0
+    has = don & (jump_idx < N)
+    acc = jnp.clip(jump_idx, 0, N - 1)
+    acc_t = types[acc]
+    has = has & ((ff.spec_donacc[acc_t] & 2) != 0)
+
+    ox = ff.spec_oxform[types] - 1
+    red = ff.spec_redform[acc_t] - 1
+    has = has & (ox >= 0) & (red >= 0)
+    ox = jnp.maximum(ox, 0)
+    red = jnp.maximum(red, 0)
+
+    if cfg.use_bnd:
+        dU_ox, dU_red = _mutation_energies(cfg, ff, state)
+        dU = dU_ox + dU_red[acc]
+    else:
+        dU = jnp.zeros((N,), dt)
+
+    # own-energy difference (serial engine, ejump.cpp:238-247)
+    dU = dU + (ff.spec_energy[ox] - ff.spec_energy[types]) \
+        + (ff.spec_energy[red] - ff.spec_energy[acc_t])
+
+    # external-field term (cuEjump.cu:230-234); px = image shift of the
+    # acceptor relative to the donor
+    ex = cfg.ext_field[0]
+    la = cfg.box[0]
+    raw = state.pos[:, 0] - state.pos[acc, 0]
+    px = jnp.round(raw / la)
+    if ex != 0.0:
+        dU = dU + ex * (state.pos[:, 0] * (ff.spec_charge[ox]
+                                           - ff.spec_charge[types])
+                        + (state.pos[acc, 0] + px * la)
+                        * (ff.spec_charge[red] - ff.spec_charge[acc_t]))
+
+    # acceptance
+    if cfg.ejtype == JUMP_EQ:
+        do = (dU > -cfg.d_ejump) & (dU < cfg.d_ejump)
+        rng = state.rng
+    elif cfg.ejtype == JUMP_MIN:
+        do = dU < 0.0
+        rng = state.rng
+    elif cfg.ejtype == JUMP_METR:
+        rng, k = jax.random.split(state.rng)
+        xi = jax.random.uniform(k, (N,), dt)
+        kt = units.KB * cfg.temp
+        do = (dU < 0.0) | (xi < jnp.exp(-jnp.minimum(dU / kt, 50.0)))
+    else:
+        return state
+    do = do & has
+
+    # deterministic conflict resolution: lowest donor wins each acceptor;
+    # an atom cannot be donor and acceptor in the same step
+    big = jnp.iinfo(jnp.int32).max
+    claim = jnp.full((N,), big, jnp.int32)
+    claim = claim.at[jnp.where(do, acc, N)].min(
+        jnp.where(do, me, big), mode="drop")
+    win = do & (claim[acc] == me) & (claim == big)  # donor itself unclaimed
+    win = win & ~win[acc]     # break donor chains (i -> j while j -> k)
+
+    # apply type changes
+    new_types = types
+    new_types = new_types.at[jnp.where(win, me, N)].set(
+        jnp.where(win, ox, 0), mode="drop")
+    new_types = new_types.at[jnp.where(win, acc, N)].set(
+        jnp.where(win, red, 0), mode="drop")
+
+    touched = state.touched
+    touched = touched.at[jnp.where(win, me, N)].set(True, mode="drop")
+    touched = touched.at[jnp.where(win, acc, N)].set(True, mode="drop")
+
+    n_win = jnp.sum(win.astype(jnp.int32))
+    # box-edge jump counters, x only (cuEjump.cu:286-307)
+    pos_cross = win & ((px > 0) | ((px == 0)
+                                   & (state.pos[acc, 0] > state.pos[:, 0])))
+    neg_cross = win & ((px < 0) | ((px == 0)
+                                   & (state.pos[acc, 0] < state.pos[:, 0])))
+
+    spec_number = jnp.zeros((cfg.n_spec,), jnp.int32).at[new_types].add(1)
+    return state.replace(
+        types=new_types, touched=touched, rng=rng,
+        n_jump=state.n_jump + n_win,
+        jump_pos=state.jump_pos + jnp.sum(pos_cross.astype(jnp.int32)),
+        jump_neg=state.jump_neg + jnp.sum(neg_cross.astype(jnp.int32)),
+        spec_number=spec_number)

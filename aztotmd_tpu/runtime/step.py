@@ -1,0 +1,163 @@
+"""The MD step: one pure function, jitted once, scanned on device.
+
+Replaces the reference's per-step host-driven kernel schedule with global
+barriers after every stage (reference: src/main.cu:281-410) by a single
+fused XLA program — zero host round-trips per step, with `lax.scan` for
+multi-step chunks.
+
+Stage order mirrors main.cu exactly:
+  reset -> [Nose] -> verlet1 (+wrap, counters, F=-qE) -> bond forces
+  -> pair forces (cell list) -> [Ewald recip] -> [create bonds] -> [ejump]
+  -> [angles] -> verlet2 -> apply_tstat -> calc_quantities
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import Energies, MDState
+from ..io.control import ELEC_EWALD, TSTAT_NOSE, TSTAT_RADI
+from ..ops import angles as ops_angles
+from ..ops import bonds as ops_bonds
+from ..ops import ejump as ops_ejump
+from ..ops import integrate as integ
+from ..ops import pairs as ops_pairs
+from ..ops import thermostat as tstat
+from ..ops.elec import ewald_recip
+
+
+@dataclasses.dataclass(frozen=True)
+class StepAux:
+    """Static auxiliary device data closed over by the step function."""
+    photons: jax.Array | None = None    # (N,) photon energies (radiative)
+    rk: jax.Array | None = None         # (K,3) Ewald k-vectors
+    kweights: jax.Array | None = None   # (K,) exp(-k^2/4a^2)/k^2
+
+
+def make_step(cfg, aux: StepAux | None = None):
+    """Build the single-step function step(state, ff) -> state."""
+    aux = aux or StepAux()
+    want_bind = cfg.use_bnd == 2 and cfg.use_linkage != 0
+    want_jump = cfg.ejtype != 0
+
+    def step(state: MDState, ff) -> MDState:
+        fdt = state.pos.dtype
+        E = state.energies
+        eng_kin = E.kin                      # survives across steps
+
+        # --- [Nose] start-of-step scaling (main.cu:291-299) ---
+        vel = state.vel
+        chit, consint = state.chit, state.consint
+        if cfg.tstat_type == TSTAT_NOSE:
+            vel, eng_kin, chit, consint = tstat.nose_apply(
+                cfg, vel, eng_kin, chit, consint)
+        state = state.replace(vel=vel, chit=chit, consint=consint)
+
+        # --- verlet 1st stage + periodic wrap + counters ---
+        upd, eng_field = integ.verlet1(cfg, ff, state)
+        state = state.replace(
+            **upd, touched=jnp.zeros_like(state.touched))
+
+        # --- bond forces (+ reactive mutations) ---
+        eng_bond = jnp.zeros((), fdt)
+        if cfg.use_bnd:
+            state, eng_bond = ops_bonds.apply_bonds(cfg, ff, state)
+
+        # --- pair forces over the cell list ---
+        pr = ops_pairs.pair_forces(
+            cfg, ff, state.pos, state.types,
+            radii=state.radii if cfg.use_radii else None,
+            parents=state.parents,
+            want_bind=want_bind, want_jump=want_jump)
+        state = state.replace(
+            frc=state.frc + pr.frc,
+            cell_overflow=jnp.maximum(state.cell_overflow, pr.max_occ))
+
+        eng_coul1 = pr.eng_coul
+        eng_coul2 = jnp.zeros((), fdt)
+        eng_coul3 = jnp.asarray(cfg.eng_ewald_const, fdt)
+
+        # --- Ewald reciprocal space ---
+        if cfg.elec_type == ELEC_EWALD:
+            charge = ff.spec_charge[state.types]
+            frc_r, eng_r = ewald_recip(cfg, state.pos, charge,
+                                       aux.rk, aux.kweights)
+            state = state.replace(frc=state.frc + frc_r)
+            eng_coul2 = eng_r.astype(fdt)
+
+        # --- create new bonds from pair-pass candidates ---
+        if want_bind:
+            state = ops_bonds.create_bonds(cfg, ff, state,
+                                           pr.bind_idx, pr.bind_r2)
+
+        # --- electron jumps ---
+        if cfg.ejtype:
+            state = ops_ejump.do_jumps(cfg, ff, state, pr.jump_idx)
+
+        # --- valence angles ---
+        eng_angle = jnp.zeros((), fdt)
+        if cfg.use_angl:
+            if cfg.use_angl == 2:
+                state = ops_angles.refresh_angles(cfg, ff, state)
+            state, eng_angle = ops_angles.apply_angles(cfg, ff, state)
+
+        # --- verlet 2nd stage ---
+        if cfg.reset_vels:
+            zero_now = state.step % cfg.reset_vels == 0
+            vel2, eng_kin2 = integ.verlet2(cfg, ff, state.vel, state.frc,
+                                           state.types)
+            vel2 = jnp.where(zero_now, 0.0, vel2)
+            eng_kin2 = jnp.where(zero_now, 0.0, eng_kin2)
+        else:
+            vel2, eng_kin2 = integ.verlet2(cfg, ff, state.vel, state.frc,
+                                           state.types)
+        state = state.replace(vel=vel2)
+        eng_kin = eng_kin2
+
+        # --- thermostat ---
+        eng_temp = jnp.zeros((), fdt)
+        upd = tstat.apply_tstat(cfg, ff, state, eng_kin, photons=aux.photons)
+        eng_kin = upd.pop("_eng_kin")
+        if "_eng_temp" in upd:
+            eng_temp = upd.pop("_eng_temp")
+        state = state.replace(**upd)
+
+        # --- calc_quantities (main.cu:121-194) ---
+        coul_tot = eng_coul1 + eng_coul2 + eng_coul3
+        pot = coul_tot + pr.eng_vdw + eng_bond + eng_angle
+        energies = Energies(
+            kin=eng_kin.astype(fdt),
+            vdw=pr.eng_vdw.astype(fdt), coul1=eng_coul1.astype(fdt),
+            coul2=eng_coul2, coul3=eng_coul3,
+            bond=eng_bond.astype(fdt), angle=eng_angle.astype(fdt),
+            temp=eng_temp.astype(fdt), field=eng_field.astype(fdt),
+            pot=pot.astype(fdt),
+            tot=(pot + eng_kin).astype(fdt))
+
+        pres, buf_p, buf_n, i_mom = integ.pressure_update(cfg, state)
+        if cfg.use_bnd:
+            state = ops_bonds.bond_means(cfg, state)
+
+        return state.replace(
+            energies=energies, pressure=pres,
+            mom_buf_pos=buf_p, mom_buf_neg=buf_n, i_mom=i_mom,
+            step=state.step + 1)
+
+    return step
+
+
+def make_multi_step(cfg, aux: StepAux | None = None, jit: bool = True):
+    """n-step scan: state <- step^n(state), no host sync inside."""
+    step = make_step(cfg, aux)
+
+    def multi(state, ff, n: int):
+        def body(s, _):
+            return step(s, ff), None
+        state, _ = jax.lax.scan(body, state, None, length=n)
+        return state
+
+    return jax.jit(multi, static_argnums=2) if jit else multi
