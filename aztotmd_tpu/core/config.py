@@ -63,19 +63,15 @@ def make_cell_grid(box, r_max: float, n_at: int,
     """
     if r_max <= 0.0:
         raise ValueError("r_max must be positive")
-    dims = []
-    for length in box:
-        # aim for edge ~ r_max but limit total cells
-        n = max(1, int(length / r_max))
-        dims.append(n)
-    # limit total number of cells (dilute systems: huge box, small cutoff)
-    while dims[0] * dims[1] * dims[2] > max_cells or \
-            (n_at / max(1, dims[0] * dims[1] * dims[2])) < 1.0 / target_occupancy:
-        # shrink the largest dimension
-        i = max(range(3), key=lambda k: dims[k])
-        if dims[i] == 1:
-            break
-        dims[i] = max(1, dims[i] // 2)
+    # aim for edge ~ r_max (largest grid with a 27-stencil)
+    dims = [max(1, int(length / r_max)) for length in box]
+    # cap the total cell count (dilute systems: huge box, small cutoff) by
+    # scaling all dims uniformly — the per-atom candidate count grows as
+    # the cell volume, so shrink as little as possible
+    n_cell = dims[0] * dims[1] * dims[2]
+    if n_cell > max_cells:
+        s = (max_cells / n_cell) ** (1.0 / 3.0)
+        dims = [max(1, int(d * s)) for d in dims]
     dims = tuple(dims)
     n_cell = dims[0] * dims[1] * dims[2]
     edge = tuple(length / n for length, n in zip(box, dims))
@@ -104,13 +100,16 @@ def make_cell_grid(box, r_max: float, n_at: int,
     cap = _round_up(max(4, int(math.ceil(avg * cap_safety))), 4)
     if pos is not None:
         # measure the real occupancy of the starting configuration and pad
-        # (the cell_overflow monitor catches later density fluctuations)
+        # a little (the cell_overflow monitor catches later density
+        # fluctuations and triggers a rebuild with a larger cap)
         import numpy as np
         p = np.asarray(pos, dtype=np.float64)
         c = np.floor(p / np.asarray(edge)).astype(np.int64) % np.asarray(dims)
         cid = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
         occ = int(np.bincount(cid, minlength=n_cell).max())
-        cap = max(cap, _round_up(occ * 2, 4))
+        margin = max(2, occ // 4)
+        cap = min(max(cap, _round_up(occ + margin, 4)),
+                  _round_up(occ * 2, 4))
     cap = min(cap, _round_up(n_at, 4))
     return CellGrid(dims=dims, cap=cap, stencil=tuple(dedup), edge=edge)
 

@@ -35,8 +35,9 @@ class Energies:
 
     @staticmethod
     def zeros(dtype=jnp.float32) -> "Energies":
-        z = jnp.zeros((), dtype)
-        return Energies(*([z] * len(fields(Energies))))
+        # distinct buffers per field (donation forbids aliased leaves)
+        return Energies(*[jnp.zeros((), dtype)
+                          for _ in fields(Energies)])
 
 
 @jax.tree_util.register_dataclass
@@ -121,10 +122,12 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
     N = cfg.n_at
     dt = cfg.jnp_dtype
     f3 = lambda a: jnp.asarray(np.asarray(a), dtype=dt).reshape(N, 3)
-    z3 = jnp.zeros((N, 3), dt)
+    # distinct buffers everywhere: donation of the state pytree requires
+    # that no two leaves alias the same device buffer
+    z3 = lambda: jnp.zeros((N, 3), dt)
 
     pos = f3(pos)
-    vel = f3(vel) if vel is not None else z3
+    vel = f3(vel) if vel is not None else z3()
     types = jnp.asarray(np.asarray(types, dtype=np.int32))
     parents = (jnp.asarray(np.asarray(parents, np.int32)) if parents is not None
                else jnp.full((N,), -1, jnp.int32))
@@ -166,8 +169,8 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
     for k in b_t[:n_bond]:
         bt_count[k] += 1
 
-    i0 = jnp.zeros((), jnp.int32)
-    f0 = jnp.zeros((), dt)
+    i0 = lambda: jnp.zeros((), jnp.int32)
+    f0 = lambda: jnp.zeros((), dt)
     # initial radii: 0.577 + small jitter (cuTemp.cu:41-42), to avoid
     # division by zero in radius-dependent potentials before the first
     # thermostat pass
@@ -175,15 +178,16 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
         jax.random.PRNGKey(seed ^ 0x5eed), (N,), dt)
 
     return MDState(
-        pos=pos, vel=vel, frc=z3, types=types, parents=parents,
-        nbonds=nbonds, pos0=pos, engs=jnp.zeros((N,), dt), radii=radii0,
+        pos=pos, vel=vel, frc=z3(), types=types, parents=parents,
+        nbonds=nbonds, pos0=pos.copy(), engs=jnp.zeros((N,), dt),
+        radii=radii0,
         spec_number=spec_number,
-        chit=f0, consint=f0,
-        energies=Energies.zeros(dt), pressure=f0,
+        chit=f0(), consint=f0(),
+        energies=Energies.zeros(dt), pressure=f0(),
         pos_mom=jnp.zeros((3,), dt), neg_mom=jnp.zeros((3,), dt),
         mom_buf_pos=jnp.zeros((cfg.n_mom, 3), dt),
         mom_buf_neg=jnp.zeros((cfg.n_mom, 3), dt),
-        i_mom=i0,
+        i_mom=i0(),
         cross_pos=jnp.zeros((cfg.n_spec, 3), jnp.int32),
         cross_neg=jnp.zeros((cfg.n_spec, 3), jnp.int32),
         bond_at1=jnp.asarray(b_at1), bond_at2=jnp.asarray(b_at2),
@@ -197,8 +201,8 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
         ang_central=jnp.asarray(a_c), ang_lig1=jnp.asarray(a_1),
         ang_lig2=jnp.asarray(a_2), ang_type=jnp.asarray(a_t),
         n_angle=jnp.asarray(n_angle, jnp.int32),
-        n_jump=i0, jump_pos=i0, jump_neg=i0,
+        n_jump=i0(), jump_pos=i0(), jump_neg=i0(),
         touched=jnp.zeros((N,), bool),
         rng=jax.random.PRNGKey(seed),
-        step=i0, cell_overflow=i0,
+        step=i0(), cell_overflow=i0(),
     )
