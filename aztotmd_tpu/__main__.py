@@ -1,0 +1,81 @@
+"""Command-line interface.
+
+``python -m aztotmd_tpu run <deck_dir>`` plays the role of the reference's
+``aztotmd`` executable (src/main.cu:239): reads control.txt / field.txt /
+atoms.xyz (+ optional bonds.txt / angles.txt / cuda.txt) from the deck
+directory, runs the simulation, writes the output files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="aztotmd_tpu",
+                                description="TPU-native azTotMD")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a simulation deck directory")
+    r.add_argument("deck", help="directory with control.txt/field.txt/"
+                                "atoms.xyz")
+    r.add_argument("-o", "--out", default=".", help="output directory")
+    r.add_argument("--steps", type=int, default=None,
+                   help="override nstep from control.txt")
+    r.add_argument("--dtype", choices=("f32", "f64"), default="f32",
+                   help="compute precision (f32 = reference GPU parity)")
+    r.add_argument("--seed", type=int, default=12345)
+    r.add_argument("--quiet", action="store_true")
+    r.add_argument("--checkpoint-every", type=int, default=0,
+                   help="write checkpoint.npz every N steps")
+    r.add_argument("--resume", default=None,
+                   help="checkpoint.npz to resume from")
+
+    b = sub.add_parser("bench", help="benchmark a deck (steps/sec)")
+    b.add_argument("deck")
+    b.add_argument("--steps", type=int, default=200)
+    b.add_argument("--warmup", type=int, default=20)
+    b.add_argument("--dtype", choices=("f32", "f64"), default="f32")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "run":
+        from .runtime.runner import MDRunner
+        from .runtime.setup import load_deck_dir
+        sysd = load_deck_dir(args.deck, dtype=args.dtype, seed=args.seed)
+        if args.resume:
+            from .runtime.checkpoint import load_checkpoint
+            sysd["state"] = load_checkpoint(args.resume, sysd["state"])
+            print(f"resumed from {args.resume} at step "
+                  f"{int(sysd['state'].step)}", file=sys.stderr)
+        runner = MDRunner(sysd, out_dir=args.out, quiet=args.quiet,
+                          checkpoint_every=args.checkpoint_every)
+        runner.run(args.steps)
+        runner.finalize()
+    elif args.cmd == "bench":
+        import json
+        import time
+
+        import jax
+
+        from .runtime.setup import load_deck_dir
+        from .runtime.step import make_step
+        sysd = load_deck_dir(args.deck, dtype=args.dtype)
+        step = jax.jit(make_step(sysd["cfg"], sysd["aux"]),
+                       donate_argnums=0)
+        state, ff = sysd["state"], sysd["ff"]
+        for _ in range(args.warmup):
+            state = step(state, ff)
+        jax.block_until_ready(state.pos)
+        t0 = time.time()
+        for _ in range(args.steps):
+            state = step(state, ff)
+        jax.block_until_ready(state.pos)
+        dt = time.time() - t0
+        print(json.dumps({"steps_per_sec": round(args.steps / dt, 2),
+                          "n_at": sysd["cfg"].n_at}))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,9 @@ class ControlSpec:
     r2_cn: float = 0.0
     cn_central: tuple = ()      # species names
     cn_counter: tuple = ()
+    # nucleus CN output: ((nucl1, nucl2, radius), ...) — the reference
+    # re-reads control.txt inside out_ncn (out_md.cpp:216-247)
+    ncn_pairs: tuple = ()
 
     # trajectory output
     st_traj: int = 0
@@ -285,6 +288,16 @@ def parse_control(text: str, charged_spec: bool = True) -> ControlSpec:
         c.cn_central = tuple(sc.scanf("%s")[0] for _ in range(n))
         n = sc.scanf("%d")[0]
         c.cn_counter = tuple(sc.scanf("%s")[0] for _ in range(n))
+
+    # --- nucleus CN output (read by out_ncn itself in the reference,
+    # out_md.cpp:216-247: "ncn <n>" then n lines "name1 name2 radius") ---
+    n = sc.find_int(" ncn %d ")
+    if n:
+        pairs = []
+        for _ in range(n):
+            nm1, nm2, r = sc.scanf("%8s %8s %lf")
+            pairs.append((nm1, nm2, r))
+        c.ncn_pairs = tuple(pairs)
 
     # --- trajectories ---
     tr = sc.find_int(" traj %d ")

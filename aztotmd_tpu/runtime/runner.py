@@ -1,0 +1,282 @@
+"""The run orchestrator — the TPU-native replacement for the reference's
+host-driven per-step kernel schedule + buffered stat flush
+(reference: src/main.cu:281-463).
+
+Steps execute in jitted `lax.scan` chunks sized to the greatest common
+divisor of all active sampling periods, so every sampling step lands on
+a chunk boundary; the only host<->device traffic is the per-chunk scalar
+pull (the analog of the reference's buffered stat flush, cuStat.cu:40-71)
+and the rare trajectory/RDF snapshots.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from ..io.control import TSTAT_RADI
+from ..ops import rdf as ops_rdf
+from ..output import writers as W
+from .checkpoint import save_checkpoint
+from .step import make_multi_step
+
+
+def _gcd_all(values):
+    g = 0
+    for v in values:
+        if v and v > 0:
+            g = math.gcd(g, int(v))
+    return g
+
+
+class MDRunner:
+    """Drive a loaded system to completion with full observability."""
+
+    def __init__(self, sysd: dict, out_dir: str = ".", quiet: bool = False,
+                 checkpoint_every: int = 0):
+        self.cfg = sysd["cfg"]
+        self.ff = sysd["ff"]
+        self.state = sysd["state"]
+        self.aux = sysd["aux"]
+        self.ctl = sysd["ctl"]
+        self.fld = sysd["fld"]
+        self.atoms = sysd["atoms"]
+        self.out_dir = out_dir
+        self.quiet = quiet
+        self.checkpoint_every = checkpoint_every
+        os.makedirs(out_dir, exist_ok=True)
+
+        cfg, ctl, fld = self.cfg, self.ctl, self.fld
+        self.multi = make_multi_step(cfg, self.aux)
+
+        # --- sampling periods (0 = off) ---
+        self.p_stat = ctl.stat
+        self.p_rdf = ctl.fr_rdf
+        self.p_rdf_out = ctl.fr_rdf_out
+        self.p_traj = ctl.fr_traj
+        self.p_revcon = ctl.revcon
+        periods = [self.p_stat, self.p_rdf, self.p_traj, self.p_revcon,
+                   checkpoint_every]
+        self.chunk = _gcd_all(periods) or 1000
+        self.chunk = min(self.chunk, 1000)
+
+        # --- writers ---
+        radi = cfg.tstat_type == TSTAT_RADI
+        j = lambda p: os.path.join(out_dir, p)
+        self.w_stat = W.StatWriter(j("stat.dat"), fld, radi,
+                                   cfg.use_bnd != 0, cfg.use_angl != 0)
+        self.w_bnd = (W.BondStatWriter(j("stat_bnd.dat"), fld)
+                      if cfg.use_bnd else None)
+        self.w_msd = W.MsdWriter(j("msd.dat"), fld)
+        self.w_jmp = W.JumpWriter(j("jumps.dat")) if cfg.ejtype else None
+        self.w_traj = (W.TrajWriter(j("traj.dat"), fld,
+                                    np.asarray(self.state.types))
+                       if self.p_traj else None)
+
+        # --- RDF ---
+        self.rcfg = ops_rdf.make_rdf_config(ctl, cfg)
+        self.rdf_count = 0
+        if self.rcfg is not None:
+            self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
+            spec_nuclei = np.array([s.nuclei for s in fld.species],
+                                   np.int32)
+            nucl_number = np.zeros(max(cfg.n_nucl, 1), np.int64)
+            for t in np.asarray(self.state.types):
+                nucl_number[spec_nuclei[t]] += 1
+            import jax.numpy as jnp
+            self._spec_nuclei = jnp.asarray(spec_nuclei)
+            self._nucl_number = jnp.asarray(nucl_number.astype(np.int32))
+            rcfg = self.rcfg
+
+            @jax.jit
+            def _rdf(pos, types, spec_number, hist, nhist):
+                return ops_rdf.rdf_sample(cfg, rcfg, pos, types,
+                                          spec_number, self._spec_nuclei,
+                                          self._nucl_number, hist, nhist)
+            self._rdf_fn = _rdf
+
+        self._t0 = time.time()
+
+    # ------------------------------------------------------------------
+    def run(self, n_steps: int | None = None):
+        cfg, ctl = self.cfg, self.ctl
+        total = n_steps if n_steps is not None else ctl.n_step
+        done = int(self.state.step)
+        while done < total:
+            n = min(self.chunk, total - done)
+            self.state = self.multi(self.state, self.ff, n)
+            done += n
+            self._sample(done)
+        jax.block_until_ready(self.state.pos)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _sample(self, step: int):
+        st = self.state
+        if self.p_stat and step % self.p_stat == 0:
+            t = step * self.cfg.dt
+            E = st.energies
+            eng = {k: float(getattr(E, k)) for k in
+                   ("tot", "kin", "vdw", "coul1", "coul2", "bond",
+                    "angle", "temp")}
+            pos_mom = np.asarray(st.pos_mom)
+            neg_mom = np.asarray(st.neg_mom)
+            spec_number = np.asarray(st.spec_number)
+            self.w_stat.write_row(t, step, eng, pos_mom, neg_mom,
+                                  float(st.pressure), spec_number)
+            if self.w_bnd:
+                self.w_bnd.write_row(t, step, int(st.n_bond),
+                                     np.asarray(st.bt_count),
+                                     np.asarray(st.bt_r_mean),
+                                     np.asarray(st.bt_lt_mean))
+            self.w_msd.write_row(t, step, np.asarray(st.cross_pos),
+                                 np.asarray(st.cross_neg))
+            if self.w_jmp:
+                self.w_jmp.write_row(t, step, int(st.n_jump),
+                                     int(st.jump_pos), int(st.jump_neg))
+            if not self.quiet:
+                self._console(step, eng)
+            self._check_overflow()
+
+        if self.rcfg is not None and self.p_rdf and step % self.p_rdf == 0:
+            self.hist, self.nhist = self._rdf_fn(
+                st.pos, st.types, st.spec_number, self.hist, self.nhist)
+            self.rdf_count += 1
+            if self.p_rdf_out and step % self.p_rdf_out == 0:
+                self._write_rdf(os.path.join(self.out_dir,
+                                             f"rdf{step}.dat"))
+            # buffer-overfill protection quirk (cuStat.cu:583-591)
+            if self.rdf_count > 500:
+                self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
+                self.rdf_count = 0
+
+        if self.w_traj and step >= self.ctl.st_traj \
+                and step % self.p_traj == 0:
+            self.w_traj.write_row(step * self.cfg.dt, step,
+                                  np.asarray(st.pos),
+                                  np.asarray(st.types),
+                                  np.asarray(st.parents))
+
+        if self.p_revcon and step % self.p_revcon == 0:
+            self._write_revcon(suffix=str(step))
+
+        if self.checkpoint_every and step % self.checkpoint_every == 0:
+            save_checkpoint(os.path.join(self.out_dir, "checkpoint.npz"),
+                            st, {"step": step})
+
+    def _console(self, step, eng):
+        st = self.state
+        parts = [f"{step} x1={float(st.pos[0, 0]):.2f}"]
+        if self.cfg.elec_type:
+            parts.append(f"C1={eng['coul1']:.3G}, C2={eng['coul2']:.3G}")
+        if self.cfg.use_bnd == 2:
+            parts.append(f"nBnd={int(st.n_bond)}")
+        if self.cfg.use_bnd:
+            parts.append(f"bndEng={eng['bond']:.3G}")
+        parts.append(f"Kin={eng['kin']:.3G} Vdw={eng['vdw']:.3G} "
+                     f"Tot={eng['tot']:.3G} P={float(st.pressure):.0f}")
+        if self.cfg.tstat_type == TSTAT_RADI:
+            parts.append(f"U={eng['temp']:.3G}")
+        print(" ".join(parts), flush=True)
+
+    def _check_overflow(self):
+        """Monitored rebucket path: the reference corrupts memory on cell
+        overflow (cuMDfunc.cu:264-265); we detect and rebuild."""
+        occ = int(self.state.cell_overflow)
+        if occ > self.cfg.grid.cap:
+            import dataclasses
+            from ..core.config import CellGrid, _round_up
+            g = self.cfg.grid
+            new_cap = _round_up(occ + max(2, occ // 4), 4)
+            print(f"WARNING: cell occupancy {occ} exceeded capacity "
+                  f"{g.cap}; rebuilding with cap={new_cap}",
+                  file=sys.stderr)
+            self.cfg = dataclasses.replace(
+                self.cfg, grid=CellGrid(dims=g.dims, cap=new_cap,
+                                        stencil=g.stencil, edge=g.edge))
+            self.multi = make_multi_step(self.cfg, self.aux)
+
+    # ------------------------------------------------------------------
+    def _write_rdf(self, path):
+        if self.rcfg is None or self.rdf_count == 0:
+            return
+        # rdf_sample accumulates 2*V/(Ni*Nj) per pair; normalize_rdf's
+        # C1 = 1/(sphera dRDF^3 count), matching copy_rdf/copy_nrdf total
+        gr = ops_rdf.normalize_rdf(self.rcfg, np.asarray(self.hist),
+                                   self.rdf_count)
+        W.write_rdf_file(path, self.rcfg, gr,
+                         [s.name for s in self.fld.species])
+        if self.rcfg.nuclei:
+            ngr = ops_rdf.normalize_rdf(self.rcfg, np.asarray(self.nhist),
+                                        self.rdf_count, nuclei=True)
+            W.write_rdf_file(path.replace("rdf", "rdf_n", 1), self.rcfg,
+                             ngr, list(self.fld.nnames))
+
+    def finalize(self):
+        """End-of-run outputs (main.cu:411-447)."""
+        st = self.state
+        fld, ctl, cfg = self.fld, self.ctl, self.cfg
+        j = lambda p: os.path.join(self.out_dir, p)
+        for w in (self.w_stat, self.w_bnd, self.w_msd, self.w_jmp,
+                  self.w_traj):
+            if w:
+                w.close()
+        self._write_rdf(j("rdf.dat"))
+
+        pos = np.asarray(st.pos)
+        vel = np.asarray(st.vel)
+        types = np.asarray(st.types)
+        names = [fld.species[t].name for t in types]
+        W.write_atoms_xyz(j("revcon.xyz"), names, pos, cfg.box)
+        if cfg.use_bnd:
+            nb = int(st.n_bond)
+            W.write_bondlist(j("revbonds.txt"), np.asarray(st.bond_at1)[:nb],
+                             np.asarray(st.bond_at2)[:nb],
+                             np.asarray(st.bond_type)[:nb])
+            W.write_bond_lengths(j("lengths.dat"), fld,
+                                 np.asarray(st.bond_at1)[:nb],
+                                 np.asarray(st.bond_at2)[:nb],
+                                 np.asarray(st.bond_type)[:nb],
+                                 pos, cfg.box)
+        if cfg.use_angl:
+            na = int(st.n_angle)
+            W.write_anglelist(j("revangles.txt"),
+                              np.asarray(st.ang_central)[:na],
+                              np.asarray(st.ang_lig1)[:na],
+                              np.asarray(st.ang_lig2)[:na],
+                              np.asarray(st.ang_type)[:na])
+        W.write_velocities(j("velocities.dat"), fld, types, vel)
+        if cfg.tstat_type == TSTAT_RADI:
+            W.write_thermal_chars(j("tchars.dat"), fld, types,
+                                  np.asarray(st.engs),
+                                  np.asarray(st.radii))
+        W.write_cn(j("CN.dat"), fld, ctl, types, pos, cfg.box)
+        W.write_ncn(j("nCN.dat"), fld, ctl, types, pos, cfg.box)
+        if not self.quiet:
+            print(f"Finish. elapsed time: "
+                  f"{time.time() - self._t0:.0f} s", flush=True)
+
+    def _write_revcon(self, suffix=""):
+        st = self.state
+        types = np.asarray(st.types)
+        names = [self.fld.species[t].name for t in types]
+        W.write_atoms_xyz(os.path.join(self.out_dir, f"revcon{suffix}.xyz"),
+                          names, np.asarray(st.pos), self.cfg.box)
+
+
+def run_deck(deck_dir: str, out_dir: str = ".", n_steps: int | None = None,
+             dtype: str = "f32", seed: int = 12345, quiet: bool = False,
+             checkpoint_every: int = 0):
+    """Load a reference deck directory and run it to completion."""
+    from .setup import load_deck_dir
+    sysd = load_deck_dir(deck_dir, dtype=dtype, seed=seed)
+    runner = MDRunner(sysd, out_dir=out_dir, quiet=quiet,
+                      checkpoint_every=checkpoint_every)
+    runner.run(n_steps)
+    runner.finalize()
+    return runner
