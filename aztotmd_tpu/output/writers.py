@@ -161,6 +161,39 @@ class TrajWriter(_FileWriter):
         self.fh.write("\t".join(cols))
 
 
+class BindTrajWriter(_FileWriter):
+    """traj_bnd.dat (cuStat.cu:921-1097): for every tracked atom (all
+    atoms of the nucleus named in the ``bindtraj`` directive) one group
+    of columns x y z type nbnd ptype px py pz r per sampled step, where
+    p* describe the bonding partner ('parent'); empty columns when the
+    atom has no parent (ptype -1)."""
+
+    def __init__(self, path, n_atoms: int):
+        super().__init__(path)
+        self.fh.write("time\tstep"
+                      + "\tx\ty\tz\ttype\tnbnd\tptype\tpx\tpy\tpz\tr"
+                      * n_atoms)
+
+    def write_row(self, time, step, idx, pos, types, nbonds, parents, box):
+        box = np.asarray(box)
+        out = [f"\n{_f(time)}\t{int(step)}"]
+        for i in idx:
+            x, y, z = pos[i]
+            p = parents[i]
+            if p > 0:
+                px, py, pz = pos[p]
+                d = pos[p] - pos[i]
+                d -= box * np.round(d / box)
+                r = float(np.sqrt(np.sum(d * d)))
+                out.append(f"\t{_f(x)}\t{_f(y)}\t{_f(z)}\t{int(types[i])}"
+                           f"\t{int(nbonds[i])}\t{int(types[p])}"
+                           f"\t{_f(px)}\t{_f(py)}\t{_f(pz)}\t{_f(r)}")
+            else:
+                out.append(f"\t{_f(x)}\t{_f(y)}\t{_f(z)}\t{int(types[i])}"
+                           f"\t{int(nbonds[i])}\t-1\t\t\t\t")
+        self.fh.write("".join(out))
+
+
 def write_rdf_file(path, rcfg, gr, names):
     """rdf.dat / rdf_n.dat (cuStat.cu:514-561 copy_rdf): header of
     species-pair names, then rows of (i+0.5)*dRDF and normalized g(r)."""

@@ -61,6 +61,7 @@ class MDRunner:
         self.p_traj = ctl.fr_traj
         self.p_revcon = ctl.revcon
         periods = [self.p_stat, self.p_rdf, self.p_traj, self.p_revcon,
+                   ctl.bindtraj_freq if ctl.bindtraj_nucl else 0,
                    checkpoint_every]
         self.chunk = _gcd_all(periods) or 1000
         self.chunk = min(self.chunk, 1000)
@@ -77,6 +78,22 @@ class MDRunner:
         self.w_traj = (W.TrajWriter(j("traj.dat"), fld,
                                     np.asarray(self.state.types))
                        if self.p_traj else None)
+
+        # bind-trajectory: all atoms of the named nucleus (sys_init.cpp:
+        # 946-968; cuStat.cu:921-1097)
+        self.w_bindtraj = None
+        self.p_bindtraj = 0
+        if ctl.bindtraj_nucl and ctl.bindtraj_freq:
+            nid = {nm: i for i, nm in enumerate(fld.nnames)}
+            k = nid.get(ctl.bindtraj_nucl)
+            if k is not None:
+                nucl_of = np.array([fld.species[t].nuclei
+                                    for t in np.asarray(self.state.types)])
+                self.bindtraj_idx = np.flatnonzero(nucl_of == k)
+                if len(self.bindtraj_idx):
+                    self.p_bindtraj = ctl.bindtraj_freq
+                    self.w_bindtraj = W.BindTrajWriter(
+                        j("traj_bnd.dat"), len(self.bindtraj_idx))
 
         # --- RDF ---
         self.rcfg = ops_rdf.make_rdf_config(ctl, cfg)
@@ -162,6 +179,15 @@ class MDRunner:
                                   np.asarray(st.types),
                                   np.asarray(st.parents))
 
+        if self.w_bindtraj and step >= self.ctl.bindtraj_start \
+                and step % self.p_bindtraj == 0:
+            self.w_bindtraj.write_row(step * self.cfg.dt, step,
+                                      self.bindtraj_idx,
+                                      np.asarray(st.pos),
+                                      np.asarray(st.types),
+                                      np.asarray(st.nbonds),
+                                      np.asarray(st.parents), self.cfg.box)
+
         if self.p_revcon and step % self.p_revcon == 0:
             self._write_revcon(suffix=str(step))
 
@@ -223,7 +249,7 @@ class MDRunner:
         fld, ctl, cfg = self.fld, self.ctl, self.cfg
         j = lambda p: os.path.join(self.out_dir, p)
         for w in (self.w_stat, self.w_bnd, self.w_msd, self.w_jmp,
-                  self.w_traj):
+                  self.w_traj, self.w_bindtraj):
             if w:
                 w.close()
         self._write_rdf(j("rdf.dat"))
