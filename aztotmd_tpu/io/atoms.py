@@ -42,6 +42,13 @@ def parse_atoms(text: str) -> AtomsData:
     if box_type != BOX_RECT:
         raise ValueError(f"Unknown box type: {box_type}")
     la, lb, lc = sc.scanf("%lf %lf %lf")
+    try:
+        from ..native import HAVE_NATIVE, parse_xyz_rows
+        if HAVE_NATIVE:
+            names, pos = parse_xyz_rows(sc.text[sc.pos:], n)
+            return AtomsData(names=names, pos=pos, box=(la, lb, lc))
+    except (ImportError, ValueError):
+        pass
     names = []
     pos = np.empty((n, 3), dtype=np.float64)
     # the reference scans "%s %lf %lf %lf" per atom; a simple split is
