@@ -173,6 +173,9 @@ class SimConfig:
 
     # cell grid
     grid: CellGrid | None = None
+    # pair traversal engine: "block" (roll-based cell blocks, fast path)
+    # or "gather" (per-atom candidate matrix)
+    pair_engine: str = "block"
 
     # capacities
     mx_bond: int = 0
@@ -206,6 +209,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
                      max_cells: int = 1 << 21,
                      mx_bond: int | None = None,
                      mx_angle: int | None = None,
+                     pair_engine: str = "block",
                      pos=None) -> SimConfig:
     """Derive the static config from parsed decks.
 
@@ -230,9 +234,14 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
     if r_max <= 0.0:
         raise ValueError("no interactions: r_max is zero")
 
-    grid = make_cell_grid(box, r_max, n_at,
-                          target_occupancy=target_occupancy,
-                          max_cells=max_cells, pos=pos)
+    if pair_engine == "block":
+        from ..ops.cellblock import make_block_grid
+        grid = make_block_grid(box, r_max, n_at, max_cells=max_cells,
+                               pos=pos)
+    else:
+        grid = make_cell_grid(box, r_max, n_at,
+                              target_occupancy=target_occupancy,
+                              max_cells=max_cells, pos=pos)
 
     # degrees of freedom and thermostat constants (sys_init.cpp:1099-1111)
     deg_free = 3 * n_at - n_bonds_init
@@ -300,7 +309,8 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         n_equil=ctl.n_equil, freq_equil=ctl.freq_equil,
         reset_vels=ctl.reset_vels,
         ext_field=(ctl.ux, ctl.uy, ctl.uz),
-        grid=grid, mx_bond=mx_bond, mx_angle=mx_angle,
+        grid=grid, pair_engine=pair_engine,
+        mx_bond=mx_bond, mx_angle=mx_angle,
         n_free_el=n_free_el, max_neigh=ctl.max_neigh,
         dtype=dtype,
     )

@@ -24,6 +24,7 @@ from ..io.control import ELEC_EWALD, TSTAT_NOSE, TSTAT_RADI
 from ..ops import angles as ops_angles
 from ..ops import bonds as ops_bonds
 from ..ops import ejump as ops_ejump
+from ..ops import cellblock as ops_cellblock
 from ..ops import integrate as integ
 from ..ops import pairs as ops_pairs
 from ..ops import thermostat as tstat
@@ -68,7 +69,10 @@ def make_step(cfg, aux: StepAux | None = None):
             state, eng_bond = ops_bonds.apply_bonds(cfg, ff, state)
 
         # --- pair forces over the cell list ---
-        pr = ops_pairs.pair_forces(
+        pair_fn = (ops_cellblock.pair_forces_block
+                   if cfg.pair_engine == "block"
+                   else ops_pairs.pair_forces)
+        pr = pair_fn(
             cfg, ff, state.pos, state.types,
             radii=state.radii if cfg.use_radii else None,
             parents=state.parents,
