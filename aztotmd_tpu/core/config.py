@@ -170,6 +170,10 @@ class SimConfig:
 
     # external field
     ext_field: tuple = (0.0, 0.0, 0.0)
+    # shiftX directive: atoms with x > shift_x get F_z := shift_val
+    # (serial integrators.cpp:34-35 clear_force)
+    shift_x: float = 0.0
+    shift_val: float = 0.0
 
     # cell grid
     grid: CellGrid | None = None
@@ -309,6 +313,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         n_equil=ctl.n_equil, freq_equil=ctl.freq_equil,
         reset_vels=ctl.reset_vels,
         ext_field=(ctl.ux, ctl.uy, ctl.uz),
+        shift_x=ctl.shift_x, shift_val=ctl.shift_val,
         grid=grid, pair_engine=pair_engine,
         mx_bond=mx_bond, mx_angle=mx_angle,
         n_free_el=n_free_el, max_neigh=ctl.max_neigh,

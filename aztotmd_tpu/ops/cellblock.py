@@ -12,8 +12,9 @@ lists, cuCellList.cu:134-211, re-expressed for the VPU):
 2. the 27-stencil neighbor access becomes **27 static `jnp.roll`s** of
    that block structure (regular slice+concat data movement — no
    random-access gathers at all);
-3. pair physics runs on (n_cell, cap, cap) tiles per offset — perfectly
-   shaped elementwise VPU work, fused by XLA with the force/energy
+3. pair physics runs on (cap_i, cap_j, n_cell) tiles per offset — the
+   long cell axis sits in the TPU's 128-lane dimension, so every vector
+   register is full; XLA fuses the physics with the force/energy
    reductions;
 4. per-atom forces come back through one inverse-permutation gather of
    N rows.
@@ -96,11 +97,16 @@ def make_block_grid(box, r_max: float, n_at: int,
 
 
 def bin_atoms(cfg, pos, extra=()):
-    """Bin atoms into the (n_cell*cap,) SoA block structure.
+    """Bin atoms into the (cap * n_cell,) SoA block structure.
+
+    Slot layout is TRANSPOSED — slot = rank * n_cell + cid — so block
+    views are (cap, n_cell) with the long cell axis in the TPU's 128-wide
+    lane dimension (a (n_cell, cap) layout with cap ~ 8 would waste 15/16
+    of every vector register).
 
     Returns dict with per-slot arrays: x, y, z (f32 blocks), valid
     (bool), aid (int32 atom id; N for empty), slot_of_atom (N,)
-    (n_cell*cap for dropped atoms), max_occ, plus one block per item of
+    (cap * n_cell for dropped atoms), max_occ, plus one block per item of
     ``extra`` (list of (name, (N,) array, fill_value)).
     """
     N = cfg.n_at
@@ -118,7 +124,7 @@ def bin_atoms(cfg, pos, extra=()):
     sorted_cid = cid[order]
     first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
     rank = jnp.arange(N, dtype=jnp.int32) - first.astype(jnp.int32)
-    slot = sorted_cid * cap + rank
+    slot = rank * n_cell + sorted_cid
     slot = jnp.where(rank < cap, slot, n_cell * cap)      # drop overflow
     max_occ = jnp.max(rank) + 1
 
@@ -144,18 +150,18 @@ def bin_atoms(cfg, pos, extra=()):
 
 
 def _roll3(a, off, dims):
-    """Roll the flat (n_cell*cap,)-shaped block array by a cell offset:
-    reshape to (ncx, ncy, ncz, cap) and circularly shift each axis.
+    """Roll the flat (cap*n_cell,)-shaped block array by a cell offset:
+    reshape to (cap, ncx, ncy, ncz) and circularly shift the cell axes.
     Static shift -> XLA lowers to slice+concatenate (regular copies)."""
     ncx, ncy, ncz = dims
-    a4 = a.reshape(ncx, ncy, ncz, -1)
+    a4 = a.reshape(-1, ncx, ncy, ncz)
     dx, dy, dz = off
     if dx:
-        a4 = jnp.roll(a4, -dx, axis=0)
+        a4 = jnp.roll(a4, -dx, axis=1)
     if dy:
-        a4 = jnp.roll(a4, -dy, axis=1)
+        a4 = jnp.roll(a4, -dy, axis=2)
     if dz:
-        a4 = jnp.roll(a4, -dz, axis=2)
+        a4 = jnp.roll(a4, -dz, axis=3)
     return a4.reshape(a.shape)
 
 
@@ -178,9 +184,9 @@ def pair_forces_block(cfg, ff, pos, types, radii=None, parents=None,
         extra.append(("parents", parents, -1))
     B = bin_atoms(cfg, pos, extra=extra)
 
-    # (n_cell, cap) views
+    # (cap, n_cell) views — long cell axis in the lane dimension
     def v(a):
-        return a.reshape(n_cell, cap)
+        return a.reshape(cap, n_cell)
 
     xi, yi, zi = v(B["x"]), v(B["y"]), v(B["z"])
     vi = v(B["valid"])
@@ -190,16 +196,16 @@ def pair_forces_block(cfg, ff, pos, types, radii=None, parents=None,
     pari = v(B["parents"]) if "parents" in B else None
 
     box = jnp.asarray(cfg.box, dt)
-    zero = jnp.zeros((n_cell, cap), dt)
+    zero = jnp.zeros((cap, n_cell), dt)
     fx, fy, fz = zero, zero, zero
     eng_vdw = jnp.zeros((), dt)
     eng_coul = jnp.zeros((), dt)
 
     big = jnp.asarray(jnp.inf, dt)
-    bind_r2b = jnp.full((n_cell, cap), big, dt)
-    bind_idb = jnp.full((n_cell, cap), N, jnp.int32)
-    jump_r2b = jnp.full((n_cell, cap), big, dt)
-    jump_idb = jnp.full((n_cell, cap), N, jnp.int32)
+    bind_r2b = jnp.full((cap, n_cell), big, dt)
+    bind_idb = jnp.full((cap, n_cell), N, jnp.int32)
+    jump_r2b = jnp.full((cap, n_cell), big, dt)
+    jump_idb = jnp.full((cap, n_cell), N, jnp.int32)
 
     if want_jump:
         don_i = (ff.spec_donacc[ti] & 1).astype(bool) & vi
@@ -214,23 +220,24 @@ def pair_forces_block(cfg, ff, pos, types, radii=None, parents=None,
         tj = r(B["types"])
         aidj = r(B["aid"])
 
-        dx = xi[:, :, None] - xj[:, None, :]
-        dy = yi[:, :, None] - yj[:, None, :]
-        dz = zi[:, :, None] - zj[:, None, :]
+        # pair tiles are (cap_i, cap_j, n_cell)
+        dx = xi[:, None, :] - xj[None, :, :]
+        dy = yi[:, None, :] - yj[None, :, :]
+        dz = zi[:, None, :] - zj[None, :, :]
         dx = dx - box[0] * jnp.round(dx / box[0])
         dy = dy - box[1] * jnp.round(dy / box[1])
         dz = dz - box[2] * jnp.round(dz / box[2])
         r2 = dx * dx + dy * dy + dz * dz
 
-        mask = vi[:, :, None] & vj[:, None, :] & (r2 <= cfg.r2_max)
+        mask = vi[:, None, :] & vj[None, :, :] & (r2 <= cfg.r2_max)
         if same:
             eye = jnp.eye(cap, dtype=bool)
-            mask = mask & ~eye[None, :, :]
+            mask = mask & ~eye[:, :, None]
 
         r2s = jnp.where(mask, r2, 1.0)
         rr = jnp.sqrt(r2s)
 
-        tpair = ti[:, :, None] * nsp + tj[:, None, :]
+        tpair = ti[:, None, :] * nsp + tj[None, :, :]
 
         if cfg.elec_type != ELEC_NONE:
             chp = ff.chprod.reshape(-1)[tpair]
@@ -251,8 +258,8 @@ def pair_forces_block(cfg, ff, pos, types, radii=None, parents=None,
                 r2cut = ff.vdw_r2cut.reshape(-1)[tpair]
             vmask = mask & (r2 <= r2cut)
             if cfg.use_radii and radi is not None:
-                ra = jnp.broadcast_to(radi[:, :, None], r2s.shape)
-                rb = jnp.broadcast_to(r(B["radii"])[:, None, :], r2s.shape)
+                ra = jnp.broadcast_to(radi[:, None, :], r2s.shape)
+                rb = jnp.broadcast_to(r(B["radii"])[None, :, :], r2s.shape)
             else:
                 ra = rb = None
             kind = jnp.where(vmask, kind, 0)
@@ -264,9 +271,9 @@ def pair_forces_block(cfg, ff, pos, types, radii=None, parents=None,
             fv = ev = jnp.zeros_like(r2s)
 
         f = jnp.clip(fc + fv, -MX_FRC, MX_FRC)
-        fx = fx + jnp.sum(f * dx, axis=2)
-        fy = fy + jnp.sum(f * dy, axis=2)
-        fz = fz + jnp.sum(f * dz, axis=2)
+        fx = fx + jnp.sum(f * dx, axis=1)
+        fy = fy + jnp.sum(f * dy, axis=1)
+        fz = fz + jnp.sum(f * dz, axis=1)
         eng_vdw = eng_vdw + 0.5 * jnp.sum(ev)
         eng_coul = eng_coul + 0.5 * jnp.sum(ec)
 
@@ -275,28 +282,28 @@ def pair_forces_block(cfg, ff, pos, types, radii=None, parents=None,
                 & (r2 <= ff.bind_r2.reshape(-1)[tpair])
             if pari is not None:
                 parj = r(B["parents"])
-                can = can & (pari[:, :, None] != aidj[:, None, :]) \
-                    & (parj[:, None, :] != aidi[:, :, None])
+                can = can & (pari[:, None, :] != aidj[None, :, :]) \
+                    & (parj[None, :, :] != aidi[:, None, :])
             r2m = jnp.where(can, r2, big)
-            j = jnp.argmin(r2m, axis=2)
-            best = jnp.take_along_axis(r2m, j[:, :, None], axis=2)[:, :, 0]
+            j = jnp.argmin(r2m, axis=1)                    # (cap, n_cell)
+            best = jnp.take_along_axis(r2m, j[:, None, :], axis=1)[:, 0, :]
             bid = jnp.take_along_axis(
-                jnp.broadcast_to(aidj[:, None, :], r2m.shape),
-                j[:, :, None], axis=2)[:, :, 0]
+                jnp.broadcast_to(aidj[None, :, :], r2m.shape),
+                j[:, None, :], axis=1)[:, 0, :]
             better = best < bind_r2b
             bind_r2b = jnp.where(better, best, bind_r2b)
             bind_idb = jnp.where(better, bid, bind_idb)
 
         if want_jump:
             acc_j = (ff.spec_donacc[tj] & 2).astype(bool) & vj
-            can = don_i[:, :, None] & acc_j[:, None, :] & mask \
+            can = don_i[:, None, :] & acc_j[None, :, :] & mask \
                 & (r2 <= cfg.r2_elec)
             r2m = jnp.where(can, r2, big)
-            j = jnp.argmin(r2m, axis=2)
-            best = jnp.take_along_axis(r2m, j[:, :, None], axis=2)[:, :, 0]
+            j = jnp.argmin(r2m, axis=1)
+            best = jnp.take_along_axis(r2m, j[:, None, :], axis=1)[:, 0, :]
             jid = jnp.take_along_axis(
-                jnp.broadcast_to(aidj[:, None, :], r2m.shape),
-                j[:, :, None], axis=2)[:, :, 0]
+                jnp.broadcast_to(aidj[None, :, :], r2m.shape),
+                j[:, None, :], axis=1)[:, 0, :]
             better = best < jump_r2b
             jump_r2b = jnp.where(better, best, jump_r2b)
             jump_idb = jnp.where(better, jid, jump_idb)

@@ -52,6 +52,12 @@ def verlet1(cfg, ff, state):
         eng_field = jnp.zeros((), dt)
         frc = jnp.zeros_like(pos)
 
+    # shiftX directive: constant z-force on atoms beyond the x threshold
+    # (serial clear_force, integrators.cpp:30-36)
+    if cfg.shift_x != 0.0 or cfg.shift_val != 0.0:
+        fz = jnp.where(pos[:, 0] > cfg.shift_x, cfg.shift_val, frc[:, 2])
+        frc = frc.at[:, 2].set(fz)
+
     return dict(pos=pos, vel=vel, frc=frc, pos_mom=pos_mom, neg_mom=neg_mom,
                 cross_pos=cross_pos, cross_neg=cross_neg), eng_field
 

@@ -7,14 +7,15 @@ tooling keeps working.
 """
 
 from .writers import (StatWriter, BondStatWriter, MsdWriter, JumpWriter,
-                      TrajWriter, BindTrajWriter, write_rdf_file, write_atoms_xyz,
+                      TrajWriter, BindTrajWriter, HistWriter, VafWriter,
+                      MsdDisplWriter, write_rdf_file, write_atoms_xyz,
                       write_velocities, write_thermal_chars,
                       write_bondlist, write_anglelist, write_cn, write_ncn,
                       write_bond_lengths)
 
 __all__ = [
     "StatWriter", "BondStatWriter", "MsdWriter", "JumpWriter", "TrajWriter",
-    "BindTrajWriter",
+    "BindTrajWriter", "HistWriter", "VafWriter", "MsdDisplWriter",
     "write_rdf_file", "write_atoms_xyz", "write_velocities",
     "write_thermal_chars", "write_bondlist", "write_anglelist",
     "write_cn", "write_ncn", "write_bond_lengths",

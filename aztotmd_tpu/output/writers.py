@@ -188,6 +188,83 @@ class TrajWriter:
             self.fh = None
 
 
+class HistWriter(_FileWriter):
+    """hist.dat (serial build: out_md.cpp:12-17 history_header;
+    main.cpp:166): per-sample history line — total energy, temperature,
+    atom[1] x/y/charge, wall momenta."""
+
+    def __init__(self, path):
+        super().__init__(path)
+        self.fh.write("time iStep totEn temp atm1x atm1y atm1ch "
+                      "momXn momXp momYn momYp momZn momZp\n"
+                      "time,ps iStep totEn,eV temp,K atm[1].x,A "
+                      "atm[1].y,A atm1ch,e momXn momXp momYn momYp "
+                      "momZn momZp\n")
+
+    def write_row(self, time, step, tot, temp, x1, y1, q1,
+                  neg_mom, pos_mom):
+        vals = [tot, temp, x1, y1, q1]
+        for k in range(3):
+            vals += [neg_mom[k], pos_mom[k]]
+        self.fh.write(" ".join([_f(time), str(int(step))]
+                               + [_f(v) for v in vals]) + "\n")
+
+
+class VafWriter(_FileWriter):
+    """vaf.dat (serial build: out_md.cpp:536-583 vaf_header/vaf_info):
+    per-species velocity autocorrelation <v(t)·v(0)>."""
+
+    def __init__(self, path, fld, vel0, types, n_spec):
+        super().__init__(path)
+        self.fh.write("time,ps\tiStep"
+                      + "".join(f"\t{s.name}" for s in fld.species) + "\n")
+        self.vel0 = np.asarray(vel0, np.float64)
+        self.types = np.asarray(types)
+        self.counts = np.bincount(self.types, minlength=n_spec)
+        self.n_spec = n_spec
+
+    def write_row(self, time, step, vel):
+        dots = np.sum(np.asarray(vel, np.float64) * self.vel0, axis=1)
+        acc = np.zeros(self.n_spec)
+        np.add.at(acc, self.types, dots)
+        acc = np.divide(acc, self.counts,
+                        out=np.zeros_like(acc), where=self.counts > 0)
+        self.fh.write("\t".join([_f(time), str(int(step))]
+                                + [_f(v) for v in acc]) + "\n")
+
+
+class MsdDisplWriter(_FileWriter):
+    """Displacement MSD (serial build: out_md.cpp:89-124 out_msd with
+    msd_header :20-30): per species mean |r(t)-r(0)|^2 (minimum image)
+    plus the x box-crossing counters."""
+
+    def __init__(self, path, fld, pos0, types, box, n_spec):
+        super().__init__(path)
+        h = "Time\tStep"
+        for s in fld.species:
+            h += f"\t{s.name}-msd\t{s.name}-nOyz\t{s.name}-pOyz"
+        self.fh.write(h + "\n")
+        self.pos0 = np.asarray(pos0, np.float64)
+        self.types = np.asarray(types)
+        self.box = np.asarray(box)
+        self.counts = np.bincount(self.types, minlength=n_spec)
+        self.n_spec = n_spec
+
+    def write_row(self, time, step, pos, cross_neg, cross_pos):
+        d = np.asarray(pos, np.float64) - self.pos0
+        d -= self.box * np.round(d / self.box)
+        r2 = np.sum(d * d, axis=1)
+        acc = np.zeros(self.n_spec)
+        np.add.at(acc, self.types, r2)
+        acc = np.divide(acc, self.counts,
+                        out=np.zeros_like(acc), where=self.counts > 0)
+        cols = [_f(time), str(int(step))]
+        for i in range(self.n_spec):
+            cols += [_f(acc[i]), str(int(cross_neg[i, 0])),
+                     str(int(cross_pos[i, 0]))]
+        self.fh.write("\t".join(cols) + "\n")
+
+
 class BindTrajWriter(_FileWriter):
     """traj_bnd.dat (cuStat.cu:921-1097): for every tracked atom (all
     atoms of the nucleus named in the ``bindtraj`` directive) one group

@@ -62,7 +62,7 @@ class MDRunner:
         self.p_revcon = ctl.revcon
         periods = [self.p_stat, self.p_rdf, self.p_traj, self.p_revcon,
                    ctl.bindtraj_freq if ctl.bindtraj_nucl else 0,
-                   checkpoint_every]
+                   ctl.hist, ctl.vaf, checkpoint_every]
         self.chunk = _gcd_all(periods) or 1000
         self.chunk = min(self.chunk, 1000)
 
@@ -94,6 +94,20 @@ class MDRunner:
                     self.p_bindtraj = ctl.bindtraj_freq
                     self.w_bindtraj = W.BindTrajWriter(
                         j("traj_bnd.dat"), len(self.bindtraj_idx))
+
+        # serial-build extras: hist.dat, vaf.dat, displacement MSD
+        # (main.cpp:61-181; out_md.cpp:12-30, 89-124, 536-583)
+        self.p_hist = ctl.hist
+        self.w_hist = W.HistWriter(j("hist.dat")) if ctl.hist else None
+        self.p_vaf = ctl.vaf
+        self.w_vaf = (W.VafWriter(j("vaf.dat"), fld,
+                                  np.asarray(self.state.vel),
+                                  np.asarray(self.state.types), cfg.n_spec)
+                      if ctl.vaf else None)
+        self.w_msdd = W.MsdDisplWriter(j("msd_d.dat"), fld,
+                                       np.asarray(self.state.pos0),
+                                       np.asarray(self.state.types),
+                                       cfg.box, cfg.n_spec)
 
         # --- RDF ---
         self.rcfg = ops_rdf.make_rdf_config(ctl, cfg)
@@ -156,9 +170,28 @@ class MDRunner:
             if self.w_jmp:
                 self.w_jmp.write_row(t, step, int(st.n_jump),
                                      int(st.jump_pos), int(st.jump_neg))
+            self.w_msdd.write_row(t, step, np.asarray(st.pos),
+                                  np.asarray(st.cross_neg),
+                                  np.asarray(st.cross_pos))
             if not self.quiet:
                 self._console(step, eng)
             self._check_overflow()
+
+        if self.w_hist and step % self.p_hist == 0:
+            from .. import units
+            E = st.energies
+            temp = 2.0 * float(E.kin) / (units.KB * max(self.cfg.deg_free, 1))
+            q1 = float(self.ff.spec_charge[st.types[1]]) \
+                if self.cfg.n_at > 1 else 0.0
+            i1 = 1 if self.cfg.n_at > 1 else 0
+            self.w_hist.write_row(
+                step * self.cfg.dt, step, float(E.tot), temp,
+                float(st.pos[i1, 0]), float(st.pos[i1, 1]), q1,
+                np.asarray(st.neg_mom), np.asarray(st.pos_mom))
+
+        if self.w_vaf and step % self.p_vaf == 0:
+            self.w_vaf.write_row(step * self.cfg.dt, step,
+                                 np.asarray(st.vel))
 
         if self.rcfg is not None and self.p_rdf and step % self.p_rdf == 0:
             self.hist, self.nhist = self._rdf_fn(
@@ -249,7 +282,8 @@ class MDRunner:
         fld, ctl, cfg = self.fld, self.ctl, self.cfg
         j = lambda p: os.path.join(self.out_dir, p)
         for w in (self.w_stat, self.w_bnd, self.w_msd, self.w_jmp,
-                  self.w_traj, self.w_bindtraj):
+                  self.w_traj, self.w_bindtraj, self.w_hist, self.w_vaf,
+                  self.w_msdd):
             if w:
                 w.close()
         self._write_rdf(j("rdf.dat"))
