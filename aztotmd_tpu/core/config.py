@@ -132,6 +132,9 @@ class SimConfig:
     use_angl: int = 0           # 0 none / 1 constant / 2 variable
     use_linkage: int = 0
     vdw_families: tuple = ()    # sorted tuple of VDW_* ids present
+    # static (nsp, nsp) potential-kind matrix (tuple of tuples) — the
+    # Pallas pair kernel specializes its species-pair loop on it
+    vdw_kind_table: tuple = ()
     bond_kinds: tuple = ()
     use_radii: bool = False     # any radius-dependent potential present
     n_bond_types: int = 0
@@ -177,9 +180,15 @@ class SimConfig:
 
     # cell grid
     grid: CellGrid | None = None
-    # pair traversal engine: "block" (roll-based cell blocks, fast path)
-    # or "gather" (per-atom candidate matrix)
-    pair_engine: str = "block"
+    # pair traversal engine: "neighbor" (Verlet list, fast path),
+    # "block" (roll-based cell blocks), "pallas" (fused TPU kernel for
+    # the block pass), or "gather" (per-atom candidate matrix)
+    pair_engine: str = "neighbor"
+    # Verlet-list parameters (ops.neighbors)
+    nb_grid: CellGrid | None = None
+    nb_skin: float = 1.5
+    nb_rebuild: int = 10
+    n_neigh: int = 4
 
     # capacities
     mx_bond: int = 0
@@ -213,7 +222,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
                      max_cells: int = 1 << 21,
                      mx_bond: int | None = None,
                      mx_angle: int | None = None,
-                     pair_engine: str = "block",
+                     pair_engine: str = "neighbor",
                      pos=None) -> SimConfig:
     """Derive the static config from parsed decks.
 
@@ -238,7 +247,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
     if r_max <= 0.0:
         raise ValueError("no interactions: r_max is zero")
 
-    if pair_engine == "block":
+    if pair_engine in ("block", "pallas"):
         from ..ops.cellblock import make_block_grid
         grid = make_block_grid(box, r_max, n_at, max_cells=max_cells,
                                pos=pos)
@@ -246,6 +255,33 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         grid = make_cell_grid(box, r_max, n_at,
                               target_occupancy=target_occupancy,
                               max_cells=max_cells, pos=pos)
+
+    # Verlet-list reach grid + neighbor capacity from the initial config
+    nb_skin = 1.5
+    nb_grid = None
+    n_neigh = 4
+    if pair_engine == "neighbor":
+        r_nb = r_max + nb_skin
+        nb_grid = make_cell_grid(box, r_nb, n_at,
+                                 target_occupancy=target_occupancy,
+                                 max_cells=max_cells, pos=pos)
+        if pos is not None:
+            import numpy as np
+            p_ = np.asarray(pos, dtype=np.float64)
+            # sampled neighbor count (full count on <=8k atoms)
+            idx = np.arange(len(p_)) if len(p_) <= 8192 else \
+                np.random.default_rng(0).choice(len(p_), 4096, replace=False)
+            bx = np.asarray(box)
+            mx = 0
+            sample = p_[idx]
+            for k in range(0, len(sample), 512):
+                d = sample[k:k + 512, None, :] - p_[None, :, :]
+                d -= bx * np.round(d / bx)
+                r2_ = np.sum(d * d, axis=-1)
+                cnt = (r2_ <= r_nb * r_nb).sum(axis=1) - 1
+                mx = max(mx, int(cnt.max()))
+            n_neigh = _round_up(max(4, mx + max(8, mx // 2)), 4)
+            n_neigh = min(n_neigh, n_at)
 
     # degrees of freedom and thermostat constants (sys_init.cpp:1099-1111)
     deg_free = 3 * n_at - n_bonds_init
@@ -284,6 +320,9 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
     # (recomputed properly by the runtime from actual atom types)
 
     families = tuple(sorted({p.type for p in fld.pairpots}))
+    from ..core.ffield import vdw_tables
+    vkind, _, _ = vdw_tables(fld)
+    vdw_kind_table = tuple(tuple(int(x) for x in row) for row in vkind)
     bond_kinds = tuple(sorted({b.type for b in fld.bonds[1:]}))
 
     if mx_bond is None:
@@ -299,7 +338,8 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         ejtype=ctl.ejtype, ejump_freq=ctl.ejump,
         use_bnd=use_bnd, use_angl=fld.use_angl,
         use_linkage=fld.use_linkage,
-        vdw_families=families, bond_kinds=bond_kinds,
+        vdw_families=families, vdw_kind_table=vdw_kind_table,
+        bond_kinds=bond_kinds,
         use_radii=any(p.use_radii for p in fld.pairpots),
         n_bond_types=len(fld.bonds), n_angle_types=len(fld.angles),
         r_max=r_max, r2_max=r_max * r_max,
@@ -315,6 +355,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         ext_field=(ctl.ux, ctl.uy, ctl.uz),
         shift_x=ctl.shift_x, shift_val=ctl.shift_val,
         grid=grid, pair_engine=pair_engine,
+        nb_grid=nb_grid, nb_skin=nb_skin, n_neigh=n_neigh,
         mx_bond=mx_bond, mx_angle=mx_angle,
         n_free_el=n_free_el, max_neigh=ctl.max_neigh,
         dtype=dtype,

@@ -70,19 +70,11 @@ class ForceField:
     ang_p: jax.Array            # (nat, 3)
 
 
-def build_forcefield(fld: FieldSpec, dt: float, eps: float = 1.0,
-                     dtype=np.float32) -> ForceField:
-    import jax.numpy as jnp
-
+def vdw_tables(fld: FieldSpec):
+    """Dense (nsp, nsp) kind / parameter / cutoff tables from the parsed
+    pair potentials (shared by the device tables and the static config
+    the Pallas kernel specializes on)."""
     nsp = fld.nSpec
-    f = lambda a: jnp.asarray(np.asarray(a, dtype=dtype))
-    i = lambda a: jnp.asarray(np.asarray(a, dtype=np.int32))
-
-    mass = np.array([s.mass for s in fld.species])
-    charge = np.array([s.charge for s in fld.species])
-
-    chprod = np.outer(charge, charge) / eps
-
     vdw_kind = np.zeros((nsp, nsp), dtype=np.int32)
     vdw_p = np.zeros((nsp, nsp, 5))
     vdw_r2 = np.zeros((nsp, nsp))
@@ -96,6 +88,23 @@ def build_forcefield(fld: FieldSpec, dt: float, eps: float = 1.0,
                 vdw_kind[a, b] = pp.type
                 vdw_p[a, b] = [pp.p0, pp.p1, pp.p2, pp.p3, pp.p4]
                 vdw_r2[a, b] = pp.r2cut
+    return vdw_kind, vdw_p, vdw_r2
+
+
+def build_forcefield(fld: FieldSpec, dt: float, eps: float = 1.0,
+                     dtype=np.float32) -> ForceField:
+    import jax.numpy as jnp
+
+    nsp = fld.nSpec
+    f = lambda a: jnp.asarray(np.asarray(a, dtype=dtype))
+    i = lambda a: jnp.asarray(np.asarray(a, dtype=np.int32))
+
+    mass = np.array([s.mass for s in fld.species])
+    charge = np.array([s.charge for s in fld.species])
+
+    chprod = np.outer(charge, charge) / eps
+
+    vdw_kind, vdw_p, vdw_r2 = vdw_tables(fld)
 
     nbt = max(1, len(fld.bonds))
     bond_kind = np.zeros(nbt, dtype=np.int32)

@@ -1,0 +1,152 @@
+"""Verlet neighbor list with skin — the fast path for per-step pair work.
+
+The reference rebuilds its cell pair structure every step
+(iter_fastCellList, cuPairs.cu:2519); its serial engine keeps per-atom
+neighbor captures bounded by the control.txt ``max_neigh`` directive
+(integrators.cpp:75-115).  Here the classic MD optimization: candidates
+within ``r_max + skin`` are collected every ``rebuild_every`` steps into a
+fixed-shape (N, K) index list; between rebuilds the pair pass touches
+only true neighbors (K ~ a handful in dilute systems vs the hundreds of
+masked slots a dense cell pass evaluates).
+
+Safety: the step monitors max displacement since the last rebuild; when
+2*max_disp exceeds the skin the list may be stale — the violation flag
+surfaces in MDState (like cell_overflow) and the runner warns/tightens.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..io.control import ELEC_NONE
+from . import cell_list as cl
+from .elec import coul_eval
+from .pairs import MX_FRC, PairResult, _row_argmin, min_image
+from .vdw import vdw_eval
+
+
+def build_neighbors(cfg, pos):
+    """(N, K) neighbor indices within r_max + skin (sentinel = N).
+
+    Uses the stencil-gather candidate matrix over cfg.nb_grid, then a
+    top-K selection by distance.  K = cfg.n_neigh.
+    """
+    import dataclasses
+    N = cfg.n_at
+    K = cfg.n_neigh
+    gcfg = dataclasses.replace(cfg, grid=cfg.nb_grid)
+    coords = cl.cell_coords(gcfg, pos)
+    table, max_occ = cl.build_cell_table(gcfg, pos)
+    cand = cl.gather_candidates(gcfg, table, coords)       # (N, M)
+
+    dt = pos.dtype
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
+    r2 = jnp.sum(delta * delta, axis=-1)
+    own = jnp.arange(N, dtype=jnp.int32)[:, None]
+    r_nb = cfg.r_max + cfg.nb_skin
+    mask = (cand != N) & (cand != own) & (r2 <= r_nb * r_nb)
+
+    r2m = jnp.where(mask, r2, jnp.inf)
+    # K nearest candidates per atom (indices into cand columns)
+    _, cols = jax.lax.top_k(-r2m.astype(jnp.float32), K)
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None]
+    idx = cand[rows, cols]
+    keep = jnp.take_along_axis(mask, cols, axis=1)
+    # overflow monitoring: neighbors beyond K are silently dropped —
+    # count the worst case so the runtime can grow K
+    n_real = jnp.sum(mask, axis=1)
+    idx = jnp.where(keep, idx, N).astype(jnp.int32)
+    return idx, jnp.max(n_real).astype(jnp.int32), max_occ
+
+
+def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
+                          parents=None, want_bind: bool = False,
+                          want_jump: bool = False) -> PairResult:
+    """Pair physics over the (N, K) neighbor list — same PairResult as
+    the cell engines (bind/jump radii are <= r_max <= list reach)."""
+    N = cfg.n_at
+    dt = pos.dtype
+    nsp = cfg.n_spec
+    cand = nbr_idx
+
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)], axis=0)
+
+    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
+    r2 = jnp.sum(delta * delta, axis=-1)
+    valid = cand != N
+    mask = valid & (r2 <= cfg.r2_max)
+    r2s = jnp.where(mask, r2, 1.0)
+    r = jnp.sqrt(r2s)
+
+    tj = types_p[cand]
+    ti = types[:, None]
+
+    if cfg.elec_type != ELEC_NONE:
+        tp = ti * nsp + tj
+        chp = ff.chprod.reshape(-1)[tp]
+        fc, ec = coul_eval(cfg, r2s, r, chp)
+        fc = jnp.where(mask, fc, 0.0)
+        ec = jnp.where(mask, ec, 0.0)
+    else:
+        fc = ec = jnp.zeros_like(r2s)
+
+    if cfg.vdw_families:
+        if nsp == 1:
+            kind = jnp.broadcast_to(ff.vdw_kind[0, 0], r2s.shape)
+            vp = jnp.broadcast_to(ff.vdw_p[0, 0], r2s.shape + (5,))
+            r2cut = ff.vdw_r2cut[0, 0]
+        else:
+            tp = ti * nsp + tj
+            kind = ff.vdw_kind.reshape(-1)[tp]
+            vp = ff.vdw_p.reshape(-1, 5)[tp]
+            r2cut = ff.vdw_r2cut.reshape(-1)[tp]
+        vmask = mask & (r2 <= r2cut)
+        if cfg.use_radii and radii is not None:
+            rad_p = jnp.concatenate([radii, jnp.ones((1,), dt)], axis=0)
+            rad_i = jnp.broadcast_to(radii[:, None], r2s.shape)
+            rad_j = rad_p[cand]
+        else:
+            rad_i = rad_j = None
+        kind = jnp.where(vmask, kind, 0)
+        fv, ev = vdw_eval(kind, vp, r2s, r, rad_i, rad_j,
+                          families=cfg.vdw_families)
+        fv = jnp.where(vmask, fv, 0.0)
+        ev = jnp.where(vmask, ev, 0.0)
+    else:
+        fv = ev = jnp.zeros_like(r2s)
+
+    f = jnp.clip(fc + fv, -MX_FRC, MX_FRC)
+    frc = jnp.sum(f[:, :, None] * delta, axis=1)
+    eng_vdw = 0.5 * jnp.sum(ev)
+    eng_coul = 0.5 * jnp.sum(ec)
+
+    big = jnp.asarray(jnp.inf, dt)
+    if want_bind:
+        tpair = ti * nsp + tj
+        can = (ff.bonding_matr.reshape(-1)[tpair] != 0) & valid \
+            & (r2 <= ff.bind_r2.reshape(-1)[tpair])
+        if parents is not None:
+            own = jnp.arange(N, dtype=jnp.int32)[:, None]
+            par_p = jnp.concatenate([parents, -jnp.ones((1,), jnp.int32)])
+            can = can & (parents[:, None] != cand) & (par_p[cand] != own)
+        bind_idx, bind_r2 = _row_argmin(cand, r2, can, N)
+    else:
+        bind_idx = jnp.full((N,), N, jnp.int32)
+        bind_r2 = jnp.full((N,), big, dt)
+
+    if want_jump:
+        don_i = (ff.spec_donacc[types] & 1).astype(bool)[:, None]
+        acc_j = (ff.spec_donacc[tj] & 2).astype(bool)
+        can = don_i & acc_j & valid & (r2 <= cfg.r2_elec)
+        jump_idx, jump_r2 = _row_argmin(cand, r2, can, N)
+    else:
+        jump_idx = jnp.full((N,), N, jnp.int32)
+        jump_r2 = jnp.full((N,), big, dt)
+
+    return PairResult(frc=frc, eng_vdw=eng_vdw, eng_coul=eng_coul,
+                      max_occ=jnp.zeros((), jnp.int32),
+                      bind_idx=bind_idx, bind_r2=bind_r2,
+                      jump_idx=jump_idx, jump_r2=jump_r2)

@@ -1,0 +1,396 @@
+"""Pallas TPU kernel for the cell-block pair pass — the speed-of-light
+path for non-reactive force fields.
+
+The XLA cell-block engine (ops.cellblock) is correct but materializes its
+(cap, cap, n_cell) pair tiles per stencil offset in HBM (~2 GB/step on
+the 40k-atom case study).  This kernel keeps every pair tile in VMEM:
+
+* outside the kernel, the 27 rolled block copies are STACKED once into
+  (S, cap, n_cell) arrays (~regular copies, a few MB);
+* the kernel tiles the cell axis; per grid step it loads the own block
+  and the S neighbor blocks for a chunk of cells, computes all S*cap*cap
+  interactions fully in VMEM, and writes only the (cap, chunk) force
+  rows and two energy scalars;
+* the species-pair dispatch is specialized at trace time on the static
+  ``cfg.vdw_kind_table`` (the Pallas analog of the reference's device
+  function-pointer tables, cuVdW.cu:260-302); per-pair parameters arrive
+  as SMEM scalars.
+
+Covers the pair physics (all VdW families incl. radius-dependent Surkov,
+all Coulomb modes); reactive candidate registration (bind/jump) falls
+back to the XLA engine — those decks mutate topology and are not the
+steps/s headline path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..io.control import (ELEC_DIRECT, ELEC_EWALD, ELEC_FENNEL, ELEC_NONE)
+from ..io.field import (VDW_746, VDW_BHM, VDW_BUCK, VDW_EINV, VDW_ELIN,
+                        VDW_LJ, VDW_SURK)
+from .cellblock import bin_atoms, _roll3
+from .pairs import MX_FRC, PairResult
+
+
+def _erfc(x):
+    """erfc via the Abramowitz-Stegun 7.1.26 rational approximation
+    (|err| < 1.5e-7, well under f32 resolution) — jax.scipy's erfc is not
+    lowerable inside Pallas."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
+def _vdw_pair(kind, r2i, ri, rr, p, ra=None, rb=None):
+    """force-over-r and energy for one species-pair entry with STATIC
+    kind and SMEM scalar params p[0..4] (formulas: ops.vdw)."""
+    p0, p1, p2, p3, p4 = p
+    if kind == VDW_LJ:
+        sr6 = (p1 * r2i) ** 3
+        e = p0 * sr6 * (sr6 - 1.0)
+        f = p2 * r2i * sr6 * (2.0 * sr6 - 1.0)
+    elif kind == VDW_BUCK:
+        r6i = r2i * r2i * r2i
+        ex = jnp.exp(-rr * p1)
+        e = p0 * ex - p2 * r6i
+        f = p0 * ex * ri * p1 - 6.0 * p2 * r6i * r2i
+    elif kind == VDW_746:
+        r4i = r2i * r2i
+        e = r4i * (p0 * r2i * ri - p1 - p2 * r2i)
+        f = r4i * r2i * (7.0 * p0 * r2i * ri - 4.0 * p1 - 6.0 * p2 * r2i)
+    elif kind == VDW_BHM:
+        r6i = r2i * r2i * r2i
+        ex = jnp.exp(p1 * (p2 - rr))
+        e = p0 * ex - p3 * r6i - p4 * r6i * r2i
+        f = p0 * p1 * ex * ri - 6.0 * p3 * r6i * r2i - 8.0 * p4 * r6i * r2i * r2i
+    elif kind == VDW_ELIN:
+        ex = jnp.exp(-rr * p1)
+        e = p0 * ex + p2 * rr
+        f = p0 * ex * ri * p1 - p2 * ri
+    elif kind == VDW_EINV:
+        ex = jnp.exp(-rr * p1)
+        e = p0 * ex - p2 * ri
+        f = p0 * ex * ri * p1 - p2 * ri * r2i
+    elif kind == VDW_SURK:
+        r6i = r2i * r2i * r2i
+        c2sum = p1 / (p2 * ra + p3 * rb)
+        rprod = ra * rb
+        c1ab2 = rprod * rprod * p0
+        e = rprod * r6i * (c1ab2 * ri - c2sum)
+        f = rprod * r6i * r2i * (7.0 * c1ab2 * ri - 6.0 * c2sum)
+    else:
+        raise ValueError(f"unknown vdw kind {kind}")
+    return f, e
+
+
+def _coul_pair(cfg, r2i, ri, rr, kqq):
+    """Pair Coulomb with static elec type and SMEM scalar kqq
+    (formulas: ops.elec.coul_eval)."""
+    if cfg.elec_type == ELEC_DIRECT:
+        return kqq * ri * r2i, kqq * ri
+    if cfg.elec_type == ELEC_EWALD:
+        ar = cfg.alpha * rr
+        ec = _erfc(ar)
+        return (kqq * ri * r2i * (ec + cfg.daipi2 * rr * jnp.exp(-ar * ar)),
+                kqq * ec * ri)
+    if cfg.elec_type == ELEC_FENNEL:
+        ar = cfg.alpha * rr
+        ec = _erfc(ar)
+        e = kqq * (ec * ri - cfg.fennel_c1
+                   + cfg.fennel_c2 * (rr - cfg.r_real))
+        f = kqq * ri * ((ec * r2i + cfg.daipi2 * jnp.exp(-ar * ar) * ri)
+                        - cfg.fennel_c2)
+        return f, e
+    raise ValueError
+
+
+def _pair_kernel(cfg, S, cap, chunk, nsp, use_coul, use_radii,
+                 # refs:
+                 params_ref,                    # SMEM (nsp*nsp, 8)
+                 xs_ref, ys_ref, zs_ref,        # VMEM (S, cap, chunk)
+                 vm_ref,                        # VMEM (S, cap, chunk) f32
+                 ts_ref,                        # VMEM (S, cap, chunk) i32
+                 rad_ref,                       # VMEM (S, cap, chunk) or None
+                 fx_ref, fy_ref, fz_ref,        # VMEM (cap, chunk)
+                 fjx_ref, fjy_ref, fjz_ref,     # VMEM (S-1, cap, chunk)
+                 ev_ref, ec_ref):               # VMEM (1, 8, 128) tiles
+    f32 = jnp.float32
+
+    xi = xs_ref[0][:, None, :]
+    yi = ys_ref[0][:, None, :]
+    zi = zs_ref[0][:, None, :]
+    vi = vm_ref[0][:, None, :]
+    ti = ts_ref[0][:, None, :]
+    if use_radii:
+        rai = rad_ref[0][:, None, :]
+
+    fx = jnp.zeros((cap, chunk), f32)
+    fy = jnp.zeros((cap, chunk), f32)
+    fz = jnp.zeros((cap, chunk), f32)
+    ev = f32(0.0)
+    ec = f32(0.0)
+
+    kind_tab = cfg.vdw_kind_table
+
+    for s in range(S):
+        # neighbor stacks arrive pre-shifted by the per-cell periodic
+        # image (the reference's precomputed cell-pair shift vectors,
+        # cuCellList.cu:134-211) — no min-image rounding needed here
+        dx = xi - xs_ref[s][None, :, :]
+        dy = yi - ys_ref[s][None, :, :]
+        dz = zi - zs_ref[s][None, :, :]
+        r2 = dx * dx + dy * dy + dz * dz
+
+        vmask = vi * vm_ref[s][None, :, :]
+        if s == 0:
+            eye = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0) \
+                == jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
+            vmask = vmask * jnp.where(eye, 0.0, 1.0)[:, :, None]
+        inr = jnp.where(r2 <= f32(cfg.r2_max), vmask, 0.0)
+
+        r2s = jnp.where(inr > 0.0, r2, 1.0)
+        ri = jax.lax.rsqrt(r2s)
+        r2i = ri * ri
+        rr = r2s * ri
+
+        tj = ts_ref[s][None, :, :]
+        if use_radii:
+            raj = rad_ref[s][None, :, :]
+
+        fsum = jnp.zeros((cap, cap, chunk), f32)
+        # static species-pair dispatch (function-pointer tables ->
+        # compile-time loop over (a, b) entries)
+        for a in range(nsp):
+            for b in range(nsp):
+                kind = kind_tab[a][b]
+                row = a * nsp + b
+                need_vdw = kind != 0
+                if not (need_vdw or use_coul):
+                    continue
+                if nsp == 1:
+                    pm = inr
+                else:
+                    pm = jnp.where((ti == a) & (tj == b), inr, 0.0)
+                # HALF stencil: self-offset pairs appear in both (i,j)
+                # orders -> energy weight 0.5; cross-offset pairs appear
+                # once -> full weight, j-side force emitted separately
+                w = 0.5 if s == 0 else 1.0
+                if need_vdw:
+                    p = [params_ref[row, k] for k in range(5)]
+                    r2cut = params_ref[row, 6]
+                    vdw_m = jnp.where(r2 <= r2cut, pm, 0.0)
+                    fv, e_v = _vdw_pair(
+                        kind, r2i, ri, rr, p,
+                        ra=rai if use_radii else None,
+                        rb=raj if use_radii else None)
+                    fsum = fsum + vdw_m * fv
+                    ev = ev + w * jnp.sum(vdw_m * e_v)
+                if use_coul:
+                    kqq = params_ref[row, 5]
+                    fc, e_c = _coul_pair(cfg, r2i, ri, rr, kqq)
+                    fsum = fsum + pm * fc
+                    ec = ec + w * jnp.sum(pm * e_c)
+
+        fsum = jnp.clip(fsum, -MX_FRC, MX_FRC)
+        fx = fx + jnp.sum(fsum * dx, axis=1)
+        fy = fy + jnp.sum(fsum * dy, axis=1)
+        fz = fz + jnp.sum(fsum * dz, axis=1)
+        if s > 0:
+            # Newton's third law: the partner cells' atoms get the
+            # negated sum over i; rolled back to their own cells outside
+            fjx_ref[s - 1, :, :] = jnp.sum(fsum * dx, axis=0)
+            fjy_ref[s - 1, :, :] = jnp.sum(fsum * dy, axis=0)
+            fjz_ref[s - 1, :, :] = jnp.sum(fsum * dz, axis=0)
+
+    fx_ref[:, :] = fx
+    fy_ref[:, :] = fy
+    fz_ref[:, :] = fz
+    ev_ref[:, :, :] = jnp.full((1, 8, 128), ev, f32)
+    ec_ref[:, :, :] = jnp.full((1, 8, 128), ec, f32)
+
+
+def pair_forces_pallas(cfg, ff, pos, types, radii=None, parents=None,
+                       want_bind: bool = False,
+                       want_jump: bool = False,
+                       chunk: int = 512,
+                       interpret: bool | None = None) -> PairResult:
+    """Pallas fast path; falls back to the XLA block engine for reactive
+    decks (bind/jump candidate registration)."""
+    if want_bind or want_jump or min(cfg.grid.dims) < 3 \
+            or any(abs(o) > 1 for off in cfg.grid.stencil for o in off):
+        # reactive candidate registration, tiny aliased grids, and
+        # wide stencils use the XLA block engine
+        from .cellblock import pair_forces_block
+        return pair_forces_block(cfg, ff, pos, types, radii=radii,
+                                 parents=parents, want_bind=want_bind,
+                                 want_jump=want_jump)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    N = cfg.n_at
+    dt = pos.dtype
+    nsp = cfg.n_spec
+    grid = cfg.grid
+    cap = grid.cap
+    n_cell = grid.n_cell
+    dims = grid.dims
+    # Newton half stencil: self + one of each +-off pair
+    half = [(0, 0, 0)] + sorted(o for o in grid.stencil if o > (0, 0, 0))
+    S = len(half)
+    f32 = jnp.float32
+
+    extra = [("types", types, 0)]
+    use_radii = bool(cfg.use_radii and radii is not None)
+    if use_radii:
+        extra.append(("radii", radii, 1.0))
+    B = bin_atoms(cfg, pos, extra=extra)
+
+    # pad the cell axis to a chunk multiple
+    chunk = min(chunk, 1 << int(math.ceil(math.log2(max(n_cell, 1)))))
+    n_pad = ((n_cell + chunk - 1) // chunk) * chunk
+    padc = n_pad - n_cell
+
+    def stack(flat, fill, shifts=None, astype=None):
+        a0 = flat.reshape(cap, n_cell)
+        rolled = []
+        for k, off in enumerate(half):
+            a = (a0 if off == (0, 0, 0)
+                 else _roll3(flat, off, dims).reshape(cap, n_cell))
+            sh = shifts.get(k) if shifts is not None else None
+            if sh is not None and not isinstance(sh, float):
+                a = a + sh[None, :]
+            rolled.append(a)
+        st = jnp.stack(rolled, axis=0)                     # (S, cap, nc)
+        if padc:
+            st = jnp.pad(st, ((0, 0), (0, 0), (0, padc)),
+                         constant_values=fill)
+        return st.astype(astype) if astype is not None else st
+
+    # per-offset per-cell periodic image shift: the rolled entry at cell
+    # c holds the atom of cell (c+off) mod dims; when c+off wraps, the
+    # true image sits one box length away (valid because edge >= rcut
+    # and dims >= 3, checked above)
+    coord = [jax.lax.broadcasted_iota(jnp.int32, dims, k).reshape(-1)
+             for k in range(3)]
+
+    def off_shift(off, k):
+        o = off[k]
+        if o == 0:
+            return 0.0
+        b = jnp.asarray(cfg.box[k], f32)
+        if o > 0:
+            return jnp.where(coord[k] >= dims[k] - o, b, 0.0)
+        return jnp.where(coord[k] < -o, -b, 0.0)
+
+    shifts = {k: [off_shift(off, kk) for kk in range(3)]
+              for k, off in enumerate(half)}
+    xs = stack(B["x"].astype(f32), 0.0,
+               shifts={k: v[0] for k, v in shifts.items()})
+    ys = stack(B["y"].astype(f32), 0.0,
+               shifts={k: v[1] for k, v in shifts.items()})
+    zs = stack(B["z"].astype(f32), 0.0,
+               shifts={k: v[2] for k, v in shifts.items()})
+    vm = stack(B["valid"].astype(f32), 0.0)
+    ts = stack(B["types"], 0)
+    rad = stack(B["radii"].astype(f32), 1.0) if use_radii else None
+
+    # SMEM parameter table: p0..p4, kqq(+scale), r2cut, pad
+    prm = jnp.zeros((nsp * nsp, 8), f32)
+    prm = prm.at[:, 0:5].set(ff.vdw_p.reshape(-1, 5).astype(f32))
+    prm = prm.at[:, 5].set((ff.chprod.reshape(-1)
+                            * cfg.coul_scale).astype(f32))
+    prm = prm.at[:, 6].set(ff.vdw_r2cut.reshape(-1).astype(f32))
+
+    use_coul = cfg.elec_type != ELEC_NONE
+    n_chunks = n_pad // chunk
+
+    def kern(*refs):
+        if use_radii:
+            (params_ref, xr, yr, zr, vr, tr, rr_,
+             fxr, fyr, fzr, fjxr, fjyr, fjzr, evr, ecr) = refs
+        else:
+            (params_ref, xr, yr, zr, vr, tr,
+             fxr, fyr, fzr, fjxr, fjyr, fjzr, evr, ecr) = refs
+            rr_ = None
+        _pair_kernel(cfg, S, cap, chunk, nsp, use_coul, use_radii,
+                     params_ref, xr, yr, zr, vr, tr, rr_,
+                     fxr, fyr, fzr, fjxr, fjyr, fjzr, evr, ecr)
+
+    vspec = lambda: pl.BlockSpec((S, cap, chunk), lambda c: (0, 0, c),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                vspec(), vspec(), vspec(), vspec(), vspec()]
+    ins = [prm, xs, ys, zs, vm, ts]
+    if use_radii:
+        in_specs.append(vspec())
+        ins.append(rad)
+
+    fspec = lambda: pl.BlockSpec((cap, chunk), lambda c: (0, c),
+                                 memory_space=pltpu.VMEM)
+    fjspec = lambda: pl.BlockSpec((S - 1, cap, chunk),
+                                  lambda c: (0, 0, c),
+                                  memory_space=pltpu.VMEM)
+    espec = lambda: pl.BlockSpec((1, 8, 128), lambda c: (c, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((cap, n_pad), f32),        # fx
+        jax.ShapeDtypeStruct((cap, n_pad), f32),        # fy
+        jax.ShapeDtypeStruct((cap, n_pad), f32),        # fz
+        jax.ShapeDtypeStruct((S - 1, cap, n_pad), f32),  # fj per offset
+        jax.ShapeDtypeStruct((S - 1, cap, n_pad), f32),
+        jax.ShapeDtypeStruct((S - 1, cap, n_pad), f32),
+        jax.ShapeDtypeStruct((n_chunks, 8, 128), f32),  # ev per chunk
+        jax.ShapeDtypeStruct((n_chunks, 8, 128), f32),  # ec per chunk
+    ]
+    out_specs = [fspec(), fspec(), fspec(),
+                 fjspec(), fjspec(), fjspec(), espec(), espec()]
+
+    fx, fy, fz, fjx, fjy, fjz, ev, ec = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+
+    # add the rolled-back j-side contributions (Newton's third law):
+    # the partial at cell c belongs to atoms of cell c+off -> roll by -off
+    def rollback(fj):
+        out = jnp.zeros((cap, n_cell), f32)
+        for k, off in enumerate(half[1:]):
+            noff = tuple(-o for o in off)
+            out = out + _roll3(fj[k, :, :n_cell].reshape(-1),
+                               noff, dims).reshape(cap, n_cell)
+        return out
+
+    fx = fx[:, :n_cell] - rollback(fjx)
+    fy = fy[:, :n_cell] - rollback(fjy)
+    fz = fz[:, :n_cell] - rollback(fjz)
+
+    soa = B["slot_of_atom"]
+
+    def unsort(a, fill):
+        flat = jnp.concatenate(
+            [a[:, :n_cell].reshape(-1), jnp.full((1,), fill, a.dtype)])
+        return flat[jnp.minimum(soa, n_cell * cap)]
+
+    frc = jnp.stack([unsort(fx, 0.0), unsort(fy, 0.0),
+                     unsort(fz, 0.0)], axis=1).astype(dt)
+    big = jnp.asarray(jnp.inf, dt)
+    z = jnp.full((N,), N, jnp.int32)
+    zr = jnp.full((N,), big, dt)
+    return PairResult(frc=frc,
+                      eng_vdw=jnp.sum(ev[:, 0, 0]).astype(dt),
+                      eng_coul=jnp.sum(ec[:, 0, 0]).astype(dt),
+                      max_occ=B["max_occ"],
+                      bind_idx=z, bind_r2=zr, jump_idx=z, jump_r2=zr)

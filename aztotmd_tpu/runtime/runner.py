@@ -246,6 +246,22 @@ class MDRunner:
     def _check_overflow(self):
         """Monitored rebucket path: the reference corrupts memory on cell
         overflow (cuMDfunc.cu:264-265); we detect and rebuild."""
+        import dataclasses
+        if self.cfg.pair_engine == "neighbor":
+            over = int(self.state.nbr_over)
+            if over > self.cfg.n_neigh:
+                from ..core.config import _round_up
+                new_k = _round_up(over + max(4, over // 4), 4)
+                print(f"WARNING: neighbor count {over} exceeded capacity "
+                      f"{self.cfg.n_neigh}; rebuilding with K={new_k}",
+                      file=sys.stderr)
+                self.cfg = dataclasses.replace(self.cfg, n_neigh=new_k)
+                N = self.cfg.n_at
+                pad = np.full((N, new_k), N, np.int32)
+                self.state = self.state.replace(
+                    nbr_idx=jax.numpy.asarray(pad),
+                    nbr_ref=self.state.nbr_ref + 1e9)   # force rebuild
+                self.multi = make_multi_step(self.cfg, self.aux)
         occ = int(self.state.cell_overflow)
         if occ > self.cfg.grid.cap:
             import dataclasses

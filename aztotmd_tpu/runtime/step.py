@@ -68,15 +68,55 @@ def make_step(cfg, aux: StepAux | None = None):
         if cfg.use_bnd:
             state, eng_bond = ops_bonds.apply_bonds(cfg, ff, state)
 
-        # --- pair forces over the cell list ---
-        pair_fn = (ops_cellblock.pair_forces_block
-                   if cfg.pair_engine == "block"
-                   else ops_pairs.pair_forces)
-        pr = pair_fn(
-            cfg, ff, state.pos, state.types,
-            radii=state.radii if cfg.use_radii else None,
-            parents=state.parents,
-            want_bind=want_bind, want_jump=want_jump)
+        # --- pair forces over the cell list / neighbor list ---
+        if cfg.pair_engine == "neighbor":
+            from ..ops import neighbors as ops_nbr
+            # rebuild the Verlet list every nb_rebuild steps (and on the
+            # very first step via the sentinel nbr_ref)
+            disp = state.pos - state.nbr_ref
+            box = jnp.asarray(cfg.box, state.pos.dtype)
+            disp = disp - box * jnp.round(disp / box)
+            max_disp = jnp.sqrt(jnp.max(jnp.sum(disp * disp, axis=-1)))
+            need = ((state.step % cfg.nb_rebuild) == 0) \
+                | (2.0 * max_disp > cfg.nb_skin)
+
+            def rebuild(pos):
+                idx, nmax, occ = ops_nbr.build_neighbors(cfg, pos)
+                return idx, pos, nmax, occ
+
+            def keep(pos):
+                return (state.nbr_idx, state.nbr_ref, state.nbr_over,
+                        jnp.zeros((), jnp.int32))
+
+            nbr_idx, nbr_ref, nbr_over, occ = jax.lax.cond(
+                need, rebuild, keep, state.pos)
+            # skin violations trigger an immediate rebuild (the `need`
+            # term above) — the counter just surfaces how often, so the
+            # runner can suggest a thicker skin / shorter interval
+            viol = (2.0 * max_disp > cfg.nb_skin).astype(jnp.int32)
+            state = state.replace(
+                nbr_idx=nbr_idx, nbr_ref=nbr_ref,
+                nbr_over=jnp.maximum(state.nbr_over, nbr_over),
+                nbr_viol=state.nbr_viol + viol,
+                cell_overflow=jnp.maximum(state.cell_overflow, occ))
+            pr = ops_nbr.pair_forces_neighbors(
+                cfg, ff, state.pos, state.types, nbr_idx,
+                radii=state.radii if cfg.use_radii else None,
+                parents=state.parents,
+                want_bind=want_bind, want_jump=want_jump)
+        else:
+            if cfg.pair_engine == "pallas":
+                from ..ops.pallas_pair import pair_forces_pallas
+                pair_fn = pair_forces_pallas
+            elif cfg.pair_engine == "block":
+                pair_fn = ops_cellblock.pair_forces_block
+            else:
+                pair_fn = ops_pairs.pair_forces
+            pr = pair_fn(
+                cfg, ff, state.pos, state.types,
+                radii=state.radii if cfg.use_radii else None,
+                parents=state.parents,
+                want_bind=want_bind, want_jump=want_jump)
         state = state.replace(
             frc=state.frc + pr.frc,
             cell_overflow=jnp.maximum(state.cell_overflow, pr.max_occ))

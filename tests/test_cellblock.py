@@ -64,3 +64,22 @@ def test_block_full_step_matches_gather_step():
                                rtol=1e-9, atol=1e-12)
     assert float(s_b.energies.tot) == pytest.approx(
         float(s_g.energies.tot), rel=1e-10)
+
+
+def test_neighbor_engine_matches_all_pairs_over_steps():
+    """Verlet-list engine: forces match the all-pairs oracle at rebuild
+    AND between rebuilds (list stays valid within the skin)."""
+    import jax.numpy as jnp
+    from aztotmd_tpu.runtime.step import make_step
+    cfg, ff, state, aux = _system(n=343, density=0.015, seed=13)
+    assert cfg.pair_engine == "neighbor"
+    step = jax.jit(make_step(cfg, aux))
+    for k in range(cfg.nb_rebuild + 3):     # crosses one rebuild boundary
+        state = step(state, ff)
+        pr_o = ops_pairs.all_pairs_forces(cfg, ff, state.pos, state.types)
+        # state.frc holds the pair forces of the step just taken
+        np.testing.assert_allclose(np.asarray(state.frc),
+                                   np.asarray(pr_o.frc),
+                                   rtol=1e-9, atol=1e-11)
+    assert int(state.nbr_viol) == 0
+    assert int(state.nbr_over) <= cfg.n_neigh
