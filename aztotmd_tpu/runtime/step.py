@@ -93,7 +93,8 @@ def make_step(cfg, aux: StepAux | None = None):
             # skin violations trigger an immediate rebuild (the `need`
             # term above) — the counter just surfaces how often, so the
             # runner can suggest a thicker skin / shorter interval
-            viol = (2.0 * max_disp > cfg.nb_skin).astype(jnp.int32)
+            viol = ((2.0 * max_disp > cfg.nb_skin)
+                    & (state.step % cfg.nb_rebuild != 0)).astype(jnp.int32)
             state = state.replace(
                 nbr_idx=nbr_idx, nbr_ref=nbr_ref,
                 nbr_over=jnp.maximum(state.nbr_over, nbr_over),
