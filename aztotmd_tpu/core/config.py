@@ -187,7 +187,7 @@ class SimConfig:
     # Verlet-list parameters (ops.neighbors)
     nb_grid: CellGrid | None = None
     nb_skin: float = 1.5
-    nb_rebuild: int = 10
+    nb_rebuild: int = 40
     n_neigh: int = 4
 
     # capacities

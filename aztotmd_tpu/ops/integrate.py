@@ -10,6 +10,7 @@ reduction becomes a plain masked sum.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -39,8 +40,20 @@ def verlet1(cfg, ff, state):
     mom = mass[:, None] * vel
     pos_mom = state.pos_mom + jnp.sum(jnp.where(ni > 0, mom, 0.0), axis=0)
     neg_mom = state.neg_mom + jnp.sum(jnp.where(ni < 0, -mom, 0.0), axis=0)
-    cross_pos = state.cross_pos.at[types].add((ni > 0).astype(jnp.int32))
-    cross_neg = state.cross_neg.at[types].add((ni < 0).astype(jnp.int32))
+    # per-species crossing counters: static loop over the (small) species
+    # set instead of a 40k-row scatter onto a (nsp, 3) array
+    nsp = state.cross_pos.shape[0]
+    if nsp == 1:
+        dpos = jnp.sum((ni > 0).astype(jnp.int32), axis=0,
+                       dtype=jnp.int32)[None, :]
+        dneg = jnp.sum((ni < 0).astype(jnp.int32), axis=0,
+                       dtype=jnp.int32)[None, :]
+    else:
+        onehot = jax.nn.one_hot(types, nsp, dtype=dt)        # (N, nsp)
+        dpos = (onehot.T @ (ni > 0).astype(dt)).astype(jnp.int32)
+        dneg = (onehot.T @ (ni < 0).astype(dt)).astype(jnp.int32)
+    cross_pos = state.cross_pos + dpos
+    cross_neg = state.cross_neg + dneg
 
     # external electric field: E = -grad U; eng = q (r . dU/dr)
     ext = jnp.asarray(cfg.ext_field, dt)
