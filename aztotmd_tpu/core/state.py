@@ -102,7 +102,7 @@ class MDState:
     jump_neg: jax.Array     #   mirroring posBxJump.x/negBxJump.x)
 
     # --- Verlet neighbor list (pair_engine="neighbor") ---
-    nbr_idx: jax.Array      # (K, N) int32 neighbor ids (sentinel N)
+    nbr_idx: jax.Array      # (N, K) int32 neighbor ids (sentinel N)
     nbr_ref: jax.Array      # (N, 3) positions at last rebuild
     nbr_over: jax.Array     # int32 max real neighbor count seen
     nbr_viol: jax.Array     # int32 skin-violation counter (stale list)
@@ -208,7 +208,7 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
         ang_lig2=jnp.asarray(a_2), ang_type=jnp.asarray(a_t),
         n_angle=jnp.asarray(n_angle, jnp.int32),
         n_jump=i0(), jump_pos=i0(), jump_neg=i0(),
-        nbr_idx=jnp.full((max(cfg.n_neigh, 1), N), N, jnp.int32),
+        nbr_idx=jnp.full((N, max(cfg.n_neigh, 1)), N, jnp.int32),
         nbr_ref=pos + 1e9,      # force a rebuild on the first step
         nbr_over=i0(), nbr_viol=i0(),
         touched=jnp.zeros((N,), bool),

@@ -5,18 +5,13 @@ The reference rebuilds its cell pair structure every step
 neighbor captures bounded by the control.txt ``max_neigh`` directive
 (integrators.cpp:75-115).  Here the classic MD optimization: candidates
 within ``r_max + skin`` are collected every ``rebuild_every`` steps into a
-fixed-shape neighbor list; between rebuilds the pair pass touches only
-true neighbors (K ~ a handful in dilute systems vs the hundreds of
+fixed-shape (N, K) index list; between rebuilds the pair pass touches
+only true neighbors (K ~ a handful in dilute systems vs the hundreds of
 masked slots a dense cell pass evaluates).
 
-LAYOUT: the list is (K, N) — neighbor slot major, atom minor — so every
-per-pair array puts the long atom axis in the TPU's 128-lane dimension
-((N, K) arrays with K ~ 4 would waste 31/32 of every vector register).
-
 Safety: the step monitors max displacement since the last rebuild; when
-2*max_disp exceeds the skin the list is rebuilt immediately, and the
-violation count surfaces in MDState so the runner can suggest a thicker
-skin.
+2*max_disp exceeds the skin the list may be stale — the violation flag
+surfaces in MDState (like cell_overflow) and the runner warns/tightens.
 """
 
 from __future__ import annotations
@@ -27,12 +22,12 @@ import jax.numpy as jnp
 from ..io.control import ELEC_NONE
 from . import cell_list as cl
 from .elec import coul_eval
-from .pairs import MX_FRC, PairResult, min_image
+from .pairs import MX_FRC, PairResult, _row_argmin, min_image
 from .vdw import vdw_eval
 
 
 def build_neighbors(cfg, pos):
-    """(K, N) neighbor indices within r_max + skin (sentinel = N).
+    """(N, K) neighbor indices within r_max + skin (sentinel = N).
 
     Uses the stencil-gather candidate matrix over cfg.nb_grid, then a
     top-K selection by distance.  K = cfg.n_neigh.
@@ -63,43 +58,31 @@ def build_neighbors(cfg, pos):
     # count the worst case so the runtime can grow K
     n_real = jnp.sum(mask, axis=1)
     idx = jnp.where(keep, idx, N).astype(jnp.int32)
-    return idx.T, jnp.max(n_real).astype(jnp.int32), max_occ
+    return idx, jnp.max(n_real).astype(jnp.int32), max_occ
 
 
 def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
                           parents=None, want_bind: bool = False,
                           want_jump: bool = False) -> PairResult:
-    """Pair physics over the (K, N) neighbor list — same PairResult as
+    """Pair physics over the (N, K) neighbor list — same PairResult as
     the cell engines (bind/jump radii are <= r_max <= list reach)."""
     N = cfg.n_at
     dt = pos.dtype
     nsp = cfg.n_spec
-    cand = nbr_idx                                         # (K, N)
+    cand = nbr_idx
 
-    pad1 = lambda a, fill: jnp.concatenate(
-        [a, jnp.full((1,), fill, a.dtype)])
-    x_p = pad1(pos[:, 0], 0.0)
-    y_p = pad1(pos[:, 1], 0.0)
-    z_p = pad1(pos[:, 2], 0.0)
-    types_p = pad1(types, 0)
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)], axis=0)
 
-    box = jnp.asarray(cfg.box, dt)
-    dx = pos[:, 0][None, :] - x_p[cand]
-    dy = pos[:, 1][None, :] - y_p[cand]
-    dz = pos[:, 2][None, :] - z_p[cand]
-    dx = dx - box[0] * jnp.round(dx / box[0])
-    dy = dy - box[1] * jnp.round(dy / box[1])
-    dz = dz - box[2] * jnp.round(dz / box[2])
-    r2 = dx * dx + dy * dy + dz * dz                       # (K, N)
-
+    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
+    r2 = jnp.sum(delta * delta, axis=-1)
     valid = cand != N
     mask = valid & (r2 <= cfg.r2_max)
     r2s = jnp.where(mask, r2, 1.0)
-    ri = jax.lax.rsqrt(r2s)
-    r = r2s * ri
+    r = jnp.sqrt(r2s)
 
-    tj = types_p[cand]                                     # (K, N)
-    ti = types[None, :]
+    tj = types_p[cand]
+    ti = types[:, None]
 
     if cfg.elec_type != ELEC_NONE:
         tp = ti * nsp + tj
@@ -122,8 +105,9 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
             r2cut = ff.vdw_r2cut.reshape(-1)[tp]
         vmask = mask & (r2 <= r2cut)
         if cfg.use_radii and radii is not None:
-            rad_i = jnp.broadcast_to(radii[None, :], r2s.shape)
-            rad_j = pad1(radii, 1.0)[cand]
+            rad_p = jnp.concatenate([radii, jnp.ones((1,), dt)], axis=0)
+            rad_i = jnp.broadcast_to(radii[:, None], r2s.shape)
+            rad_j = rad_p[cand]
         else:
             rad_i = rad_j = None
         kind = jnp.where(vmask, kind, 0)
@@ -135,9 +119,7 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
         fv = ev = jnp.zeros_like(r2s)
 
     f = jnp.clip(fc + fv, -MX_FRC, MX_FRC)
-    frc = jnp.stack([jnp.sum(f * dx, axis=0),
-                     jnp.sum(f * dy, axis=0),
-                     jnp.sum(f * dz, axis=0)], axis=1)     # (N, 3)
+    frc = jnp.sum(f[:, :, None] * delta, axis=1)
     eng_vdw = 0.5 * jnp.sum(ev)
     eng_coul = 0.5 * jnp.sum(ec)
 
@@ -147,19 +129,19 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
         can = (ff.bonding_matr.reshape(-1)[tpair] != 0) & valid \
             & (r2 <= ff.bind_r2.reshape(-1)[tpair])
         if parents is not None:
-            par_p = pad1(parents, -1)
-            can = can & (parents[None, :] != cand) \
-                & (par_p[cand] != jnp.arange(N, dtype=jnp.int32)[None, :])
-        bind_idx, bind_r2 = _col_argmin(cand, r2, can, N)
+            own = jnp.arange(N, dtype=jnp.int32)[:, None]
+            par_p = jnp.concatenate([parents, -jnp.ones((1,), jnp.int32)])
+            can = can & (parents[:, None] != cand) & (par_p[cand] != own)
+        bind_idx, bind_r2 = _row_argmin(cand, r2, can, N)
     else:
         bind_idx = jnp.full((N,), N, jnp.int32)
         bind_r2 = jnp.full((N,), big, dt)
 
     if want_jump:
-        don_i = (ff.spec_donacc[types] & 1).astype(bool)[None, :]
+        don_i = (ff.spec_donacc[types] & 1).astype(bool)[:, None]
         acc_j = (ff.spec_donacc[tj] & 2).astype(bool)
         can = don_i & acc_j & valid & (r2 <= cfg.r2_elec)
-        jump_idx, jump_r2 = _col_argmin(cand, r2, can, N)
+        jump_idx, jump_r2 = _row_argmin(cand, r2, can, N)
     else:
         jump_idx = jnp.full((N,), N, jnp.int32)
         jump_r2 = jnp.full((N,), big, dt)
@@ -168,14 +150,3 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
                       max_occ=jnp.zeros((), jnp.int32),
                       bind_idx=bind_idx, bind_r2=bind_r2,
                       jump_idx=jump_idx, jump_r2=jump_r2)
-
-
-def _col_argmin(cand, r2, mask, sentinel):
-    """Nearest masked candidate per column of a (K, N) matrix."""
-    big = jnp.asarray(jnp.inf, r2.dtype)
-    r2m = jnp.where(mask, r2, big)
-    k = jnp.argmin(r2m, axis=0)                            # (N,)
-    cols = jnp.arange(r2.shape[1])
-    best_r2 = r2m[k, cols]
-    best_id = jnp.where(jnp.isfinite(best_r2), cand[k, cols], sentinel)
-    return best_id.astype(jnp.int32), best_r2

@@ -257,7 +257,7 @@ class MDRunner:
                       file=sys.stderr)
                 self.cfg = dataclasses.replace(self.cfg, n_neigh=new_k)
                 N = self.cfg.n_at
-                pad = np.full((new_k, N), N, np.int32)
+                pad = np.full((N, new_k), N, np.int32)
                 self.state = self.state.replace(
                     nbr_idx=jax.numpy.asarray(pad),
                     nbr_ref=self.state.nbr_ref + 1e9)   # force rebuild
