@@ -102,8 +102,10 @@ def ewald_recip(cfg, pos, charge, rk, w):
     escale = 2pi/V * Fcoul/eps;  fscale = 2*escale  (cuInit.cu:1011-1012)
     """
     dt = pos.dtype
-    escale = 0.5 * cfg.ewald_scale     # ewald_scale = 2*2pi/V*Fcoul/eps
-    fscale = cfg.ewald_scale
+    # half-space k-sum: E = (4pi/V) sum_half w |S|^2, F = 2x that
+    # (ewald_scale = 2*2pi/V*Fcoul/eps, elec.cpp:381)
+    escale = cfg.ewald_scale
+    fscale = 2.0 * cfg.ewald_scale
     rk = rk.astype(dt)
     w = w.astype(dt)
     theta = pos @ rk.T                             # (N, K) on the MXU
