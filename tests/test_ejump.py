@@ -1,0 +1,90 @@
+"""Electron-hopping tests on a synthetic Fe2+/Fe3+ redox deck."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aztotmd_tpu.io.atoms import AtomsData
+from aztotmd_tpu.io.control import (ControlSpec, ElecSpec, TStatSpec,
+                                    JUMP_MIN, JUMP_METR, ELEC_DIRECT)
+from aztotmd_tpu.io.field import parse_field
+from aztotmd_tpu.runtime.setup import build_system
+from aztotmd_tpu.runtime.step import make_step
+
+# two iron oxidation states; Fe3 is the acceptor (reduces to Fe2),
+# Fe2 the donor (oxidizes to Fe3); own energies favour the jump
+FIELD = """
+spec 2
+Fe2\tFe\t55.8\t2.0\t0.5
+Fe3\tFe\t55.8\t3.0\t0.0
+red-ox 1
+2 Fe3 Fe2
+vdw 1
+Fe2\tFe2\tlnjs\t4.0\t0.005\t2.2
+"""
+
+
+def redox_system(scheme=JUMP_MIN, d=(0.0, 0.0)):
+    fld = parse_field(FIELD)
+    assert fld.species[0].donacc & 1          # Fe2 donor
+    assert fld.species[1].donacc & 2          # Fe3 acceptor
+    assert fld.species[0].oxForm == 2         # Fe2 -> Fe3 (1-based)
+    assert fld.species[1].redForm == 1        # Fe3 -> Fe2
+    # donor and acceptor 1.5 A apart, far from the other pair
+    pos = np.array([[3.0, 3.0, 3.0], [4.5, 3.0, 3.0],
+                    [9.0, 9.0, 9.0], [9.0, 9.0, 3.0]])
+    names = ["Fe2", "Fe3", "Fe2", "Fe2"]
+    ctl = ControlSpec(t_step=0.0001, n_step=4,
+                      tstat=TStatSpec(type=0, temp=300.0),
+                      elec=ElecSpec(type=ELEC_DIRECT, r_real=6.0))
+    ctl.ejump = 1
+    ctl.ejtype = scheme
+    ctl.r_elec = 2.0
+    atoms = AtomsData(names=names, pos=pos, box=(12.0, 12.0, 12.0))
+    return build_system(ctl, fld, atoms, dtype="f64", seed=5)
+
+
+def test_jump_swaps_types_and_conserves_charge():
+    """min scheme: the donor/acceptor pair with dU < 0 swaps types;
+    total charge and species counts stay consistent."""
+    cfg, ff, state, aux = redox_system(scheme=JUMP_MIN)
+    assert cfg.ejtype == JUMP_MIN
+    q0 = float(jnp.sum(ff.spec_charge[state.types]))
+    n_fe2_0 = int(jnp.sum(state.types == 0))
+    step = jax.jit(make_step(cfg, aux))
+    state = step(state, ff)
+    q1 = float(jnp.sum(ff.spec_charge[state.types]))
+    assert q1 == pytest.approx(q0, abs=1e-12)
+    # species counters track the types array
+    n_fe2 = int(jnp.sum(state.types == 0))
+    assert int(state.spec_number[0]) == n_fe2
+    assert int(state.spec_number[1]) == int(jnp.sum(state.types == 1))
+    assert n_fe2_0 == n_fe2       # a swap preserves counts per species
+
+
+def test_jump_counter_increments_when_jump_happens():
+    cfg, ff, state, aux = redox_system(scheme=JUMP_MIN)
+    step = jax.jit(make_step(cfg, aux))
+    s1 = step(state, ff)
+    types0 = np.asarray(state.types)
+    types1 = np.asarray(s1.types)
+    swapped = (types0 != types1).sum()
+    # either a swap happened (pair of changes) and was counted, or not
+    assert swapped in (0, 2)
+    if swapped:
+        assert int(s1.n_jump) >= 1
+        # the donor became Fe3 and the acceptor became Fe2
+        assert types1[0] == 1 and types1[1] == 0
+
+
+def test_metropolis_scheme_runs():
+    cfg, ff, state, aux = redox_system(scheme=JUMP_METR)
+    step = jax.jit(make_step(cfg, aux))
+    for _ in range(5):
+        state = step(state, ff)
+    assert bool(jnp.all(jnp.isfinite(state.pos)))
+    assert int(jnp.sum(state.types == 0)) + \
+        int(jnp.sum(state.types == 1)) == cfg.n_at
