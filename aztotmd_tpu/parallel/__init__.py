@@ -16,6 +16,7 @@ taxonomy for an MD engine:
 
 from .mesh import (make_mesh, state_shardings, ff_shardings,
                    make_sharded_step, shard_system)
+from .domain import pair_forces_domain
 
 __all__ = ["make_mesh", "state_shardings", "ff_shardings",
-           "make_sharded_step", "shard_system"]
+           "make_sharded_step", "shard_system", "pair_forces_domain"]

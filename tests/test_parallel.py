@@ -40,3 +40,32 @@ def test_sharded_multi_step_runs():
         sstate = sstep(sstate, sff)
     assert int(sstate.step) == 5
     assert bool(jnp.all(jnp.isfinite(sstate.pos)))
+
+
+def test_domain_decomposition_matches_all_pairs():
+    """shard_map x-slab decomposition with ppermute halo exchange must
+    reproduce the all-pairs oracle forces and energy."""
+    import dataclasses
+    from aztotmd_tpu.ops import pairs as ops_pairs
+    from aztotmd_tpu.ops.cellblock import make_block_grid
+    from aztotmd_tpu.parallel.domain import pair_forces_domain
+
+    cfg, ff, state, aux = build_lj_argon(n_atoms=512, density=0.012,
+                                         dtype="f64", seed=21)
+    # block grid with ncx divisible by the mesh size
+    grid = make_block_grid(cfg.box, cfg.r_max, cfg.n_at)
+    assert grid.dims[0] % 4 == 0 or grid.dims[0] >= 4
+    ncx = (grid.dims[0] // 4) * 4
+    grid = dataclasses.replace(grid, dims=(max(ncx, 4),) + grid.dims[1:],
+                               edge=(cfg.box[0] / max(ncx, 4),)
+                               + grid.edge[1:])
+    dcfg = dataclasses.replace(cfg, grid=grid)
+
+    mesh = make_mesh(4, axis="x")
+    frc, e_vdw, e_coul = jax.jit(
+        lambda p, t: pair_forces_domain(dcfg, ff, p, t, mesh))(
+        state.pos, state.types)
+    pr = ops_pairs.all_pairs_forces(cfg, ff, state.pos, state.types)
+    np.testing.assert_allclose(np.asarray(frc), np.asarray(pr.frc),
+                               rtol=1e-9, atol=1e-11)
+    assert float(e_vdw) == pytest.approx(float(pr.eng_vdw), rel=1e-10)
