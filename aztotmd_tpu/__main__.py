@@ -31,6 +31,9 @@ def main(argv=None):
                    help="write checkpoint.npz every N steps")
     r.add_argument("--resume", default=None,
                    help="checkpoint.npz to resume from")
+    r.add_argument("--profile", default=None, metavar="LOG_DIR",
+                   help="capture a JAX profiler trace into LOG_DIR and "
+                        "print per-stage timings")
 
     b = sub.add_parser("bench", help="benchmark a deck (steps/sec)")
     b.add_argument("deck")
@@ -50,8 +53,14 @@ def main(argv=None):
             print(f"resumed from {args.resume} at step "
                   f"{int(sysd['state'].step)}", file=sys.stderr)
         runner = MDRunner(sysd, out_dir=args.out, quiet=args.quiet,
-                          checkpoint_every=args.checkpoint_every)
-        runner.run(args.steps)
+                          checkpoint_every=args.checkpoint_every,
+                          profile=args.profile is not None)
+        if args.profile:
+            from .utils import trace
+            with trace(args.profile):
+                runner.run(args.steps)
+        else:
+            runner.run(args.steps)
         runner.finalize()
     elif args.cmd == "bench":
         import json

@@ -38,7 +38,7 @@ class MDRunner:
     """Drive a loaded system to completion with full observability."""
 
     def __init__(self, sysd: dict, out_dir: str = ".", quiet: bool = False,
-                 checkpoint_every: int = 0):
+                 checkpoint_every: int = 0, profile: bool = False):
         self.cfg = sysd["cfg"]
         self.ff = sysd["ff"]
         self.state = sysd["state"]
@@ -131,6 +131,9 @@ class MDRunner:
                                           self._nucl_number, hist, nhist)
             self._rdf_fn = _rdf
 
+        from ..utils import StageTimer
+        self.profile = profile
+        self.timer = StageTimer()
         self._t0 = time.time()
 
     # ------------------------------------------------------------------
@@ -140,10 +143,14 @@ class MDRunner:
         done = int(self.state.step)
         while done < total:
             n = min(self.chunk, total - done)
-            self.state = self.multi(self.state, self.ff, n)
+            with self.timer.stage("steps", lambda: self.state.pos):
+                self.state = self.multi(self.state, self.ff, n)
             done += n
-            self._sample(done)
+            with self.timer.stage("sampling"):
+                self._sample(done)
         jax.block_until_ready(self.state.pos)
+        if self.profile:
+            print(self.timer.report(), file=sys.stderr)
         return self.state
 
     # ------------------------------------------------------------------

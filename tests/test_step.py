@@ -105,3 +105,18 @@ def test_wall_momentum_and_pressure_accumulate():
                     + np.asarray(state.cross_neg).sum())
     assert crossings > 0
     assert np.isfinite(float(state.pressure))
+
+
+def test_determinism_same_seed_same_trajectory():
+    """Two runs from the same seed must be bit-identical (replaces the
+    reference's hand-rolled atomics/race model, SURVEY.md §5)."""
+    cfg, ff, state, aux = build_lj_gas(tstat=TSTAT_RADI, temp=40.0,
+                                       dtype="f32", seed=17)
+    step = jax.jit(make_step(cfg, aux))
+    s1, s2 = state, state
+    for _ in range(20):
+        s1 = step(s1, ff)
+        s2 = step(s2, ff)
+    np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+    np.testing.assert_array_equal(np.asarray(s1.vel), np.asarray(s2.vel))
+    assert float(s1.energies.tot) == float(s2.energies.tot)
