@@ -96,13 +96,17 @@ def rdf_sample(cfg, rcfg: RdfConfig, pos, types, spec_number,
     table, _ = cl.build_cell_table(gcfg, pos)
     cand = cl.gather_candidates(gcfg, table, coords)       # (N, M)
 
-    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
     types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)], axis=0)
 
-    delta = pos[:, None, :] - pos_p[cand]
+    # SoA distance components: an (N, M, 3) delta would lane-pad 3 -> 128
+    # on TPU (measured 40x memory blowup on large RDF reaches)
     box = jnp.asarray(cfg.box, dt)
-    delta = delta - box * jnp.round(delta / box)
-    r2 = jnp.sum(delta * delta, axis=-1)
+    r2 = jnp.zeros(cand.shape, dt)
+    for k in range(3):
+        xk = jnp.concatenate([pos[:, k], jnp.zeros((1,), dt)])
+        d = pos[:, k][:, None] - xk[cand]
+        d = d - box[k] * jnp.round(d / box[k])
+        r2 = r2 + d * d
 
     own = jnp.arange(N, dtype=jnp.int32)[:, None]
     # each unordered pair once (the reference iterates i<j)
