@@ -41,9 +41,15 @@ def build_neighbors(cfg, pos):
     cand = cl.gather_candidates(gcfg, table, coords)       # (N, M)
 
     dt = pos.dtype
-    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
-    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
-    r2 = jnp.sum(delta * delta, axis=-1)
+    # SoA distance components — an (N, M, 3) delta lane-pads 3 -> 128 on
+    # TPU and OOMs for dense systems with large candidate matrices
+    box = jnp.asarray(cfg.box, dt)
+    r2 = jnp.zeros(cand.shape, dt)
+    for k in range(3):
+        xk = jnp.concatenate([pos[:, k], jnp.zeros((1,), dt)])
+        d = pos[:, k][:, None] - xk[cand]
+        d = d - box[k] * jnp.round(d / box[k])
+        r2 = r2 + d * d
     own = jnp.arange(N, dtype=jnp.int32)[:, None]
     r_nb = cfg.r_max + cfg.nb_skin
     mask = (cand != N) & (cand != own) & (r2 <= r_nb * r_nb)
@@ -71,11 +77,18 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
     nsp = cfg.n_spec
     cand = nbr_idx
 
-    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
     types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)], axis=0)
 
-    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
-    r2 = jnp.sum(delta * delta, axis=-1)
+    # SoA distance components (see build_neighbors)
+    box = jnp.asarray(cfg.box, dt)
+    ds = []
+    r2 = jnp.zeros(cand.shape, dt)
+    for k in range(3):
+        xk = jnp.concatenate([pos[:, k], jnp.zeros((1,), dt)])
+        d = pos[:, k][:, None] - xk[cand]
+        d = d - box[k] * jnp.round(d / box[k])
+        ds.append(d)
+        r2 = r2 + d * d
     valid = cand != N
     mask = valid & (r2 <= cfg.r2_max)
     r2s = jnp.where(mask, r2, 1.0)
@@ -119,7 +132,7 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
         fv = ev = jnp.zeros_like(r2s)
 
     f = jnp.clip(fc + fv, -MX_FRC, MX_FRC)
-    frc = jnp.sum(f[:, :, None] * delta, axis=1)
+    frc = jnp.stack([jnp.sum(f * d, axis=1) for d in ds], axis=1)
     eng_vdw = 0.5 * jnp.sum(ev)
     eng_coul = 0.5 * jnp.sum(ec)
 
