@@ -269,18 +269,23 @@ class MDRunner:
                     nbr_idx=jax.numpy.asarray(pad),
                     nbr_ref=self.state.nbr_ref + 1e9)   # force rebuild
                 self.multi = make_multi_step(self.cfg, self.aux)
+        # cell_overflow tracks the NB grid in neighbor mode, the main
+        # grid otherwise — compare against the right capacity
+        g = (self.cfg.nb_grid if self.cfg.pair_engine == "neighbor"
+             else self.cfg.grid)
         occ = int(self.state.cell_overflow)
-        if occ > self.cfg.grid.cap:
-            import dataclasses
+        if occ > g.cap:
             from ..core.config import CellGrid, _round_up
-            g = self.cfg.grid
             new_cap = _round_up(occ + max(2, occ // 4), 4)
             print(f"WARNING: cell occupancy {occ} exceeded capacity "
                   f"{g.cap}; rebuilding with cap={new_cap}",
                   file=sys.stderr)
-            self.cfg = dataclasses.replace(
-                self.cfg, grid=CellGrid(dims=g.dims, cap=new_cap,
-                                        stencil=g.stencil, edge=g.edge))
+            new_grid = CellGrid(dims=g.dims, cap=new_cap,
+                                stencil=g.stencil, edge=g.edge)
+            if self.cfg.pair_engine == "neighbor":
+                self.cfg = dataclasses.replace(self.cfg, nb_grid=new_grid)
+            else:
+                self.cfg = dataclasses.replace(self.cfg, grid=new_grid)
             self.multi = make_multi_step(self.cfg, self.aux)
 
     # ------------------------------------------------------------------
