@@ -39,8 +39,26 @@ class StepAux:
     kweights: jax.Array | None = None   # (K,) exp(-k^2/4a^2)/k^2
 
 
-def make_step(cfg, aux: StepAux | None = None):
-    """Build the single-step function step(state, ff) -> state."""
+def rebuild_neighbors_state(cfg, state):
+    """Unconditional Verlet-list rebuild (used at scan boundaries —
+    a data-dependent lax.cond on TPU may execute BOTH branches, which
+    made dense decks pay the full rebuild every step)."""
+    from ..ops import neighbors as ops_nbr
+    idx, nmax, occ = ops_nbr.build_neighbors(cfg, state.pos)
+    return state.replace(
+        nbr_idx=idx, nbr_ref=state.pos,
+        nbr_over=jnp.maximum(state.nbr_over, nmax),
+        cell_overflow=jnp.maximum(state.cell_overflow, occ))
+
+
+def make_step(cfg, aux: StepAux | None = None,
+              nbr_auto_rebuild: bool = True):
+    """Build the single-step function step(state, ff) -> state.
+
+    nbr_auto_rebuild: include the in-step conditional Verlet rebuild
+    (single-step usage). The scanned multi-step path instead rebuilds
+    unconditionally every cfg.nb_rebuild steps and passes False here.
+    """
     aux = aux or StepAux()
     want_bind = cfg.use_bnd == 2 and cfg.use_linkage != 0
     want_jump = cfg.ejtype != 0
@@ -71,35 +89,42 @@ def make_step(cfg, aux: StepAux | None = None):
         # --- pair forces over the cell list / neighbor list ---
         if cfg.pair_engine == "neighbor":
             from ..ops import neighbors as ops_nbr
-            # rebuild the Verlet list every nb_rebuild steps (and on the
-            # very first step via the sentinel nbr_ref)
+            # skin monitor: 2*max displacement since the last rebuild
             disp = state.pos - state.nbr_ref
             box = jnp.asarray(cfg.box, state.pos.dtype)
             disp = disp - box * jnp.round(disp / box)
             max_disp = jnp.sqrt(jnp.max(jnp.sum(disp * disp, axis=-1)))
-            need = ((state.step % cfg.nb_rebuild) == 0) \
-                | (2.0 * max_disp > cfg.nb_skin)
+            stale = 2.0 * max_disp > cfg.nb_skin
 
-            def rebuild(pos):
-                idx, nmax, occ = ops_nbr.build_neighbors(cfg, pos)
-                return idx, pos, nmax, occ
+            if nbr_auto_rebuild:
+                # single-step mode: rebuild on schedule or violation.
+                # NOTE: TPU may execute both cond branches — fine for
+                # cheap rebuilds, the scanned path avoids this entirely.
+                need = ((state.step % cfg.nb_rebuild) == 0) | stale
 
-            def keep(pos):
-                return (state.nbr_idx, state.nbr_ref, state.nbr_over,
-                        jnp.zeros((), jnp.int32))
+                def rebuild(pos):
+                    idx, nmax, occ = ops_nbr.build_neighbors(cfg, pos)
+                    return idx, pos, nmax, occ
 
-            nbr_idx, nbr_ref, nbr_over, occ = jax.lax.cond(
-                need, rebuild, keep, state.pos)
-            # skin violations trigger an immediate rebuild (the `need`
-            # term above) — the counter just surfaces how often, so the
-            # runner can suggest a thicker skin / shorter interval
-            viol = ((2.0 * max_disp > cfg.nb_skin)
-                    & (state.step % cfg.nb_rebuild != 0)).astype(jnp.int32)
-            state = state.replace(
-                nbr_idx=nbr_idx, nbr_ref=nbr_ref,
-                nbr_over=jnp.maximum(state.nbr_over, nbr_over),
-                nbr_viol=state.nbr_viol + viol,
-                cell_overflow=jnp.maximum(state.cell_overflow, occ))
+                def keep(pos):
+                    return (state.nbr_idx, state.nbr_ref, state.nbr_over,
+                            jnp.zeros((), jnp.int32))
+
+                nbr_idx, nbr_ref, nbr_over, occ = jax.lax.cond(
+                    need, rebuild, keep, state.pos)
+                viol = (stale & (state.step % cfg.nb_rebuild != 0)) \
+                    .astype(jnp.int32)
+                state = state.replace(
+                    nbr_idx=nbr_idx, nbr_ref=nbr_ref,
+                    nbr_over=jnp.maximum(state.nbr_over, nbr_over),
+                    nbr_viol=state.nbr_viol + viol,
+                    cell_overflow=jnp.maximum(state.cell_overflow, occ))
+            else:
+                # scanned mode: rebuild happens at scan boundaries;
+                # count any in-flight staleness for the runner to react
+                nbr_idx = state.nbr_idx
+                state = state.replace(
+                    nbr_viol=state.nbr_viol + stale.astype(jnp.int32))
             pr = ops_nbr.pair_forces_neighbors(
                 cfg, ff, state.pos, state.types, nbr_idx,
                 radii=state.radii if cfg.use_radii else None,
@@ -196,13 +221,40 @@ def make_step(cfg, aux: StepAux | None = None):
 
 
 def make_multi_step(cfg, aux: StepAux | None = None, jit: bool = True):
-    """n-step scan: state <- step^n(state), no host sync inside."""
-    step = make_step(cfg, aux)
+    """n-step scan: state <- step^n(state), no host sync inside.
 
-    def multi(state, ff, n: int):
-        def body(s, _):
-            return step(s, ff), None
-        state, _ = jax.lax.scan(body, state, None, length=n)
-        return state
+    With the Verlet-list engine the list is rebuilt UNCONDITIONALLY
+    every cfg.nb_rebuild steps (outer scan), keeping the inner step free
+    of data-dependent control flow.
+    """
+    if cfg.pair_engine != "neighbor":
+        step = make_step(cfg, aux)
+
+        def multi(state, ff, n: int):
+            def body(s, _):
+                return step(s, ff), None
+            state, _ = jax.lax.scan(body, state, None, length=n)
+            return state
+    else:
+        step = make_step(cfg, aux, nbr_auto_rebuild=False)
+        R = max(int(cfg.nb_rebuild), 1)
+
+        def multi(state, ff, n: int):
+            def inner(s, _):
+                return step(s, ff), None
+
+            def block(s, r):
+                s = rebuild_neighbors_state(cfg, s)
+                s, _ = jax.lax.scan(inner, s, None, length=r)
+                return s
+
+            n_out, rem = divmod(n, R)
+            if n_out:
+                def outer(s, _):
+                    return block(s, R), None
+                state, _ = jax.lax.scan(outer, state, None, length=n_out)
+            if rem:
+                state = block(state, rem)
+            return state
 
     return jax.jit(multi, static_argnums=2) if jit else multi
