@@ -20,7 +20,10 @@ def _f(x) -> str:
 class _FileWriter:
     def __init__(self, path):
         self.path = path
-        self.fh = open(path, "w")
+        # line-buffered: rows survive an interrupted run (the runner can
+        # be killed externally; the reference leaves the same tail risk
+        # in its buffered flush, cuStat.cu:40)
+        self.fh = open(path, "w", buffering=1)
 
     def close(self):
         if self.fh:
