@@ -63,9 +63,13 @@ def nose_apply(cfg, vel, eng_kin, chit, consint):
     return vel, eng_kin, chit, consint
 
 
-def _rand_uvect(key, shape, dtype):
-    v = jax.random.normal(key, shape + (3,), dtype)
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+def _rand_uvect_from(u, v, dtype):
+    """Uniform unit vector from two uniforms (sphere point picking) —
+    no normals, no norm (cheaper than normal-deviate + normalize)."""
+    z = 2.0 * u - 1.0
+    rho = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = (2.0 * jnp.pi) * v
+    return jnp.stack([rho * jnp.cos(phi), rho * jnp.sin(phi), z], axis=-1)
 
 
 def _angled_vector(v, cos_phi, theta):
@@ -102,7 +106,8 @@ def tstat_radiative(cfg, ff, state, photons):
     vel = state.vel
     engs = state.engs
 
-    key, k1, k2, k3 = jax.random.split(state.rng, 4)
+    key, kr = jax.random.split(state.rng)
+    u = jax.random.uniform(kr, (N, 4), dt)    # one fused RNG draw
 
     # rotating photon index (the reference walks the table by per-block
     # atomicAdd of curEng; a stride by a large odd constant per step gives
@@ -113,8 +118,8 @@ def tstat_radiative(cfg, ff, state, photons):
 
     # --- absorb (adsorb_rand_photon, cuTemp.cu:484-507) ---
     v02 = jnp.sum(vel * vel, axis=-1)
-    u = _rand_uvect(k1, (N,), dt)
-    vel = vel + (pe * REV_LIGHT / mass)[:, None] * u
+    uvec = _rand_uvect_from(u[:, 0], u[:, 1], dt)
+    vel = vel + (pe * REV_LIGHT / mass)[:, None] * uvec
     v12 = jnp.sum(vel * vel, axis=-1)
     engs = engs + pe + 0.5 * mass * (v02 - v12)
 
@@ -126,10 +131,10 @@ def tstat_radiative(cfg, ff, state, photons):
     ermc = ph * REV_LIGHT / mass
     ermcv0 = ermc / v0
     # random cosine in [-1, 1 - 2*ermc/v0], mean -ermc/v0 (momentum bias)
-    xi = jax.random.uniform(k2, (N,), dt)
+    xi = u[:, 2]
     cos_phi = jnp.where(ermcv0 >= 1.0, -1.0,
                         xi * 2.0 * (1.0 - jnp.minimum(ermcv0, 1.0)) - 1.0)
-    theta = jax.random.uniform(k3, (N,), dt, 0.0, 2.0 * jnp.pi)
+    theta = (2.0 * jnp.pi) * u[:, 3]
     rv = _angled_vector(vel, cos_phi, theta)
     vel_r = vel + ermc[:, None] * rv
     v12 = jnp.sum(vel_r * vel_r, axis=-1)
