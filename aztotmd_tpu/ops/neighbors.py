@@ -82,16 +82,12 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
 
     types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)], axis=0)
 
-    # SoA distance components (see build_neighbors)
-    box = jnp.asarray(cfg.box, dt)
-    ds = []
-    r2 = jnp.zeros(cand.shape, dt)
-    for k in range(3):
-        xk = jnp.concatenate([pos[:, k], jnp.zeros((1,), dt)])
-        d = pos[:, k][:, None] - xk[cand]
-        d = d - box[k] * jnp.round(d / box[k])
-        ds.append(d)
-        r2 = r2 + d * d
+    # one vector gather: TPU gathers fetch consecutive (x,y,z) triples
+    # efficiently; per-component gathers measured 5x slower here (the
+    # rebuild path, which has a huge candidate axis, uses SoA instead)
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
+    r2 = jnp.sum(delta * delta, axis=-1)
     valid = cand != N
     mask = valid & (r2 <= cfg.r2_max)
     r2s = jnp.where(mask, r2, 1.0)
@@ -135,7 +131,7 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
         fv = ev = jnp.zeros_like(r2s)
 
     f = jnp.clip(fc + fv, -MX_FRC, MX_FRC)
-    frc = jnp.stack([jnp.sum(f * d, axis=1) for d in ds], axis=1)
+    frc = jnp.sum(f[:, :, None] * delta, axis=1)
     eng_vdw = 0.5 * jnp.sum(ev)
     eng_coul = 0.5 * jnp.sum(ec)
 
