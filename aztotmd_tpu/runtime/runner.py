@@ -138,20 +138,39 @@ class MDRunner:
 
     # ------------------------------------------------------------------
     def run(self, n_steps: int | None = None):
+        """Advance to `total` steps; Ctrl-C stops cleanly after the
+        current chunk (the reference's Esc abort, main.cu:405-409,
+        utils.cpp:8-21) — callers still get final outputs via
+        finalize()."""
         cfg, ctl = self.cfg, self.ctl
         total = n_steps if n_steps is not None else ctl.n_step
         done = int(self.state.step)
-        while done < total:
-            n = min(self.chunk, total - done)
-            with self.timer.stage("steps", lambda: self.state.pos):
-                self.state = self.multi(self.state, self.ff, n)
-            done += n
-            with self.timer.stage("sampling"):
-                self._sample(done)
+        try:
+            self._run_loop(total, done)
+        except KeyboardInterrupt:
+            print(f"interrupted at step {int(self.state.step)}; writing "
+                  "final outputs", file=sys.stderr)
         jax.block_until_ready(self.state.pos)
         if self.profile:
             print(self.timer.report(), file=sys.stderr)
         return self.state
+
+    def _run_loop(self, total, done):
+        profile = self.profile
+        while done < total:
+            n = min(self.chunk, total - done)
+            if profile:
+                # per-stage wall clock needs a device barrier per chunk —
+                # only pay the (tunnel) round trip when profiling
+                with self.timer.stage("steps", lambda: self.state.pos):
+                    self.state = self.multi(self.state, self.ff, n)
+                done += n
+                with self.timer.stage("sampling"):
+                    self._sample(done)
+            else:
+                self.state = self.multi(self.state, self.ff, n)
+                done += n
+                self._sample(done)
 
     # ------------------------------------------------------------------
     def _sample(self, step: int):
