@@ -31,6 +31,9 @@ def main(argv=None):
                    help="write checkpoint.npz every N steps")
     r.add_argument("--resume", default=None,
                    help="checkpoint.npz to resume from")
+    r.add_argument("--debug", action="store_true",
+                   help="check state invariants after every chunk "
+                        "(the reference's DEBUG_MODE verify kernels)")
     r.add_argument("--profile", default=None, metavar="LOG_DIR",
                    help="capture a JAX profiler trace into LOG_DIR and "
                         "print per-stage timings")
@@ -54,7 +57,8 @@ def main(argv=None):
                   f"{int(sysd['state'].step)}", file=sys.stderr)
         runner = MDRunner(sysd, out_dir=args.out, quiet=args.quiet,
                           checkpoint_every=args.checkpoint_every,
-                          profile=args.profile is not None)
+                          profile=args.profile is not None,
+                          debug=args.debug)
         if args.profile:
             from .utils import trace
             with trace(args.profile):

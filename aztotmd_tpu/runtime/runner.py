@@ -38,7 +38,8 @@ class MDRunner:
     """Drive a loaded system to completion with full observability."""
 
     def __init__(self, sysd: dict, out_dir: str = ".", quiet: bool = False,
-                 checkpoint_every: int = 0, profile: bool = False):
+                 checkpoint_every: int = 0, profile: bool = False,
+                 debug: bool = False):
         self.cfg = sysd["cfg"]
         self.ff = sysd["ff"]
         self.state = sysd["state"]
@@ -133,6 +134,7 @@ class MDRunner:
 
         from ..utils import StageTimer
         self.profile = profile
+        self.debug = debug
         self.timer = StageTimer()
         self._t0 = time.time()
 
@@ -171,6 +173,9 @@ class MDRunner:
                 self.state = self.multi(self.state, self.ff, n)
                 done += n
                 self._sample(done)
+            if self.debug:
+                from .debug import assert_state_ok
+                assert_state_ok(self.cfg, self.state)
 
     # ------------------------------------------------------------------
     def _sample(self, step: int):

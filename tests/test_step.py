@@ -120,3 +120,18 @@ def test_determinism_same_seed_same_trajectory():
     np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
     np.testing.assert_array_equal(np.asarray(s1.vel), np.asarray(s2.vel))
     assert float(s1.energies.tot) == float(s2.energies.tot)
+
+
+def test_debug_invariants_clean_and_detect():
+    from aztotmd_tpu.runtime.debug import assert_state_ok, check_state
+    cfg, ff, state, aux = build_lj_gas(dtype="f64", seed=2)
+    step = jax.jit(make_step(cfg, aux))
+    state = step(state, ff)
+    assert_state_ok(cfg, state)          # clean state passes
+    # corrupt: NaN force and out-of-range type are caught
+    bad = state.replace(
+        frc=state.frc.at[0, 0].set(jnp.nan),
+        types=state.types.at[1].set(99))
+    import pytest as _pt
+    with _pt.raises(AssertionError):
+        assert_state_ok(cfg, bad)
