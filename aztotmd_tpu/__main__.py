@@ -58,7 +58,8 @@ def main(argv=None):
         runner = MDRunner(sysd, out_dir=args.out, quiet=args.quiet,
                           checkpoint_every=args.checkpoint_every,
                           profile=args.profile is not None,
-                          debug=args.debug)
+                          debug=args.debug,
+                          append=args.resume is not None)
         if args.profile:
             from .utils import trace
             with trace(args.profile):

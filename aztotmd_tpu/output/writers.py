@@ -18,12 +18,20 @@ def _f(x) -> str:
 
 
 class _FileWriter:
-    def __init__(self, path):
+    def __init__(self, path, append: bool = False):
         self.path = path
         # line-buffered: rows survive an interrupted run (the runner can
         # be killed externally; the reference leaves the same tail risk
         # in its buffered flush, cuStat.cu:40)
-        self.fh = open(path, "w", buffering=1)
+        import os as _os
+        self.appended = append and _os.path.exists(path) \
+            and _os.path.getsize(path) > 0
+        self.fh = open(path, "a" if self.appended else "w", buffering=1)
+
+    def write_header(self, text: str):
+        """Write the header only on fresh files (resumed runs append)."""
+        if not self.appended:
+            self.fh.write(text)
 
     def close(self):
         if self.fh:
@@ -41,8 +49,9 @@ class StatWriter(_FileWriter):
     [varSpec counts...]
     """
 
-    def __init__(self, path, fld, radi: bool, use_bnd: bool, use_angl: bool):
-        super().__init__(path)
+    def __init__(self, path, fld, radi: bool, use_bnd: bool,
+                 use_angl: bool, append: bool = False):
+        super().__init__(path, append)
         self.radi, self.use_bnd, self.use_angl = radi, use_bnd, use_angl
         self.var_specs = [i for i, s in enumerate(fld.species)
                           if getattr(s, "varNumber", 0)]
@@ -66,7 +75,7 @@ class StatWriter(_FileWriter):
         for nm in names:
             h += f"\t{nm}"
             u += f"\t{nm}"
-        self.fh.write(h + "\n" + u + "\n")
+        self.write_header(h + "\n" + u + "\n")
 
     def write_row(self, time, step, eng, pos_mom, neg_mom, press,
                   spec_number):
@@ -91,14 +100,14 @@ class BondStatWriter(_FileWriter):
     prepare_stat_addr :266-278): tot_bnd then per bond type (from 1)
     count / mean length / mean lifetime."""
 
-    def __init__(self, path, fld):
-        super().__init__(path)
+    def __init__(self, path, fld, append: bool = False):
+        super().__init__(path, append)
         h = "time\tstep\ttot_bnd"
         for b in fld.bonds[1:]:
             s1 = fld.species[b.spec1].name
             s2 = fld.species[b.spec2].name
             h += f"\tcnt{s1}-{s2}\tleng{s1}-{s2}\ttime{s1}-{s2}"
-        self.fh.write(h + "\n")
+        self.write_header(h + "\n")
 
     def write_row(self, time, step, n_bond, bt_count, bt_r_mean, bt_lt_mean):
         cols = [_f(time), str(int(step)), str(int(n_bond))]
@@ -112,12 +121,12 @@ class MsdWriter(_FileWriter):
     """msd.dat (cuStat.cu:345-350; prepare_stat_addr :280-289): per
     species the six box-crossing counters px nx py ny pz nz."""
 
-    def __init__(self, path, fld):
-        super().__init__(path)
+    def __init__(self, path, fld, append: bool = False):
+        super().__init__(path, append)
         h = "time\tstep"
         for s in fld.species:
             h += f"\t{s.name}_px\tnx\tpy\tny\tpz\tnz"
-        self.fh.write(h + "\n")
+        self.write_header(h + "\n")
 
     def write_row(self, time, step, cross_pos, cross_neg):
         cols = [_f(time), str(int(step))]
@@ -132,9 +141,9 @@ class JumpWriter(_FileWriter):
     """jumps.dat (cuStat.cu:353-358; prepare_stat_addr :292-297):
     nTot / pos / neg electron-jump counters."""
 
-    def __init__(self, path):
-        super().__init__(path)
-        self.fh.write("time\tstep\tnTot\tpos\tneg\n")
+    def __init__(self, path, append: bool = False):
+        super().__init__(path, append)
+        self.write_header("time\tstep\tnTot\tpos\tneg\n")
 
     def write_row(self, time, step, n_jump, jump_pos, jump_neg):
         self.fh.write(f"{_f(time)}\t{int(step)}\t{int(n_jump)}"

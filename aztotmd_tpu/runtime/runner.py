@@ -39,7 +39,7 @@ class MDRunner:
 
     def __init__(self, sysd: dict, out_dir: str = ".", quiet: bool = False,
                  checkpoint_every: int = 0, profile: bool = False,
-                 debug: bool = False):
+                 debug: bool = False, append: bool = False):
         self.cfg = sysd["cfg"]
         self.ff = sysd["ff"]
         self.state = sysd["state"]
@@ -71,11 +71,14 @@ class MDRunner:
         radi = cfg.tstat_type == TSTAT_RADI
         j = lambda p: os.path.join(out_dir, p)
         self.w_stat = W.StatWriter(j("stat.dat"), fld, radi,
-                                   cfg.use_bnd != 0, cfg.use_angl != 0)
-        self.w_bnd = (W.BondStatWriter(j("stat_bnd.dat"), fld)
+                                   cfg.use_bnd != 0, cfg.use_angl != 0,
+                                   append=append)
+        self.w_bnd = (W.BondStatWriter(j("stat_bnd.dat"), fld,
+                                       append=append)
                       if cfg.use_bnd else None)
-        self.w_msd = W.MsdWriter(j("msd.dat"), fld)
-        self.w_jmp = W.JumpWriter(j("jumps.dat")) if cfg.ejtype else None
+        self.w_msd = W.MsdWriter(j("msd.dat"), fld, append=append)
+        self.w_jmp = (W.JumpWriter(j("jumps.dat"), append=append)
+                      if cfg.ejtype else None)
         self.w_traj = (W.TrajWriter(j("traj.dat"), fld,
                                     np.asarray(self.state.types))
                        if self.p_traj else None)
