@@ -61,11 +61,20 @@ class MDRunner:
         self.p_rdf_out = ctl.fr_rdf_out
         self.p_traj = ctl.fr_traj
         self.p_revcon = ctl.revcon
-        periods = [self.p_stat, self.p_rdf, self.p_traj, self.p_revcon,
+        # RDF accumulates ON DEVICE inside the jitted chunk, so the
+        # chunk size only needs to divide the HOST-visible periods; each
+        # host dispatch costs a tunnel round trip (~100 ms), so fewer,
+        # larger chunks matter more than anything inside them
+        periods = [self.p_stat, self.p_traj, self.p_revcon,
                    ctl.bindtraj_freq if ctl.bindtraj_nucl else 0,
                    ctl.hist, ctl.vaf, checkpoint_every]
         self.chunk = _gcd_all(periods) or 1000
         self.chunk = min(self.chunk, 1000)
+        self.rdf_in_chunk = bool(ctl.fr_rdf and ctl.r_rdf > 0
+                                 and self.chunk % ctl.fr_rdf == 0)
+        if ctl.fr_rdf and not self.rdf_in_chunk:
+            # fall back: align chunks to the RDF period on the host
+            self.chunk = _gcd_all(periods + [ctl.fr_rdf]) or ctl.fr_rdf
 
         # --- writers ---
         radi = cfg.tstat_type == TSTAT_RADI
@@ -135,6 +144,27 @@ class MDRunner:
                                           self._nucl_number, hist, nhist)
             self._rdf_fn = _rdf
 
+            if self.rdf_in_chunk:
+                # fused chunk: scan fr_rdf-step blocks, accumulating the
+                # RDF histogram on device at each block boundary — one
+                # host dispatch per chunk instead of one per RDF sample
+                base_multi = self.multi
+                p_rdf = self.p_rdf
+
+                def chunk_fn(state, hist, nhist, ff, n: int):
+                    n_blocks, rem = divmod(n, p_rdf)
+                    for _ in range(n_blocks):
+                        state = base_multi(state, ff, p_rdf)
+                        hist, nhist = ops_rdf.rdf_sample(
+                            cfg, rcfg, state.pos, state.types,
+                            state.spec_number, self._spec_nuclei,
+                            self._nucl_number, hist, nhist)
+                    if rem:
+                        state = base_multi(state, ff, rem)
+                    return state, hist, nhist
+
+                self._chunk_rdf_fn = jax.jit(chunk_fn, static_argnums=4)
+
         from ..utils import StageTimer
         self.profile = profile
         self.debug = debug
@@ -168,17 +198,28 @@ class MDRunner:
                 # per-stage wall clock needs a device barrier per chunk —
                 # only pay the (tunnel) round trip when profiling
                 with self.timer.stage("steps", lambda: self.state.pos):
-                    self.state = self.multi(self.state, self.ff, n)
+                    self._advance(n)
                 done += n
                 with self.timer.stage("sampling"):
                     self._sample(done)
             else:
-                self.state = self.multi(self.state, self.ff, n)
+                self._advance(n)
                 done += n
                 self._sample(done)
             if self.debug:
                 from .debug import assert_state_ok
                 assert_state_ok(self.cfg, self.state)
+
+    def _advance(self, n: int):
+        if self.rcfg is not None and self.rdf_in_chunk:
+            self.state, self.hist, self.nhist = self._chunk_rdf_fn(
+                self.state, self.hist, self.nhist, self.ff, n)
+            self.rdf_count += n // self.p_rdf
+            if self.rdf_count > 500:    # overfill quirk (cuStat.cu:583)
+                self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
+                self.rdf_count = 0
+        else:
+            self.state = self.multi(self.state, self.ff, n)
 
     # ------------------------------------------------------------------
     def _sample(self, step: int):
@@ -227,17 +268,17 @@ class MDRunner:
             self.w_vaf.write_row(step * self.cfg.dt, step,
                                  np.asarray(st.vel))
 
-        if self.rcfg is not None and self.p_rdf and step % self.p_rdf == 0:
+        if self.rcfg is not None and self.p_rdf and not self.rdf_in_chunk \
+                and step % self.p_rdf == 0:
             self.hist, self.nhist = self._rdf_fn(
                 st.pos, st.types, st.spec_number, self.hist, self.nhist)
             self.rdf_count += 1
-            if self.p_rdf_out and step % self.p_rdf_out == 0:
-                self._write_rdf(os.path.join(self.out_dir,
-                                             f"rdf{step}.dat"))
-            # buffer-overfill protection quirk (cuStat.cu:583-591)
             if self.rdf_count > 500:
                 self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
                 self.rdf_count = 0
+        if self.rcfg is not None and self.p_rdf_out \
+                and step % self.p_rdf_out == 0:
+            self._write_rdf(os.path.join(self.out_dir, f"rdf{step}.dat"))
 
         if self.w_traj and step >= self.ctl.st_traj \
                 and step % self.p_traj == 0:
