@@ -190,6 +190,6 @@ def do_jumps(cfg, ff, state, jump_idx):
     return state.replace(
         types=new_types, touched=touched, rng=rng,
         n_jump=state.n_jump + n_win,
-        jump_pos=state.jump_pos + jnp.sum(pos_cross.astype(jnp.int32)),
-        jump_neg=state.jump_neg + jnp.sum(neg_cross.astype(jnp.int32)),
+        jump_pos=state.jump_pos + jnp.sum(pos_cross, dtype=jnp.int32),
+        jump_neg=state.jump_neg + jnp.sum(neg_cross, dtype=jnp.int32),
         spec_number=spec_number)
