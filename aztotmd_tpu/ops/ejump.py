@@ -179,7 +179,7 @@ def do_jumps(cfg, ff, state, jump_idx):
     touched = touched.at[jnp.where(win, me, N)].set(True, mode="drop")
     touched = touched.at[jnp.where(win, acc, N)].set(True, mode="drop")
 
-    n_win = jnp.sum(win.astype(jnp.int32))
+    n_win = jnp.sum(win, dtype=jnp.int32)
     # box-edge jump counters, x only (cuEjump.cu:286-307)
     pos_cross = win & ((px > 0) | ((px == 0)
                                    & (state.pos[acc, 0] > state.pos[:, 0])))
