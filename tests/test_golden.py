@@ -14,12 +14,13 @@ import pytest
 from aztotmd_tpu.runtime.setup import load_deck_dir
 from aztotmd_tpu.runtime.step import make_multi_step
 
-# pinned from the first validated implementation (f64, seed 12345)
+# banded expectations (f32, seed 12345) — f64 physics is covered
+# by the oracle tests; f32 keeps the CPU compile time manageable
 GOLDEN = {}
 
 
 def _run(deck, steps=10, repeat=False):
-    sysd = load_deck_dir(deck, dtype="f64", seed=12345)
+    sysd = load_deck_dir(deck, dtype="f32", seed=12345)
     multi = make_multi_step(sysd["cfg"], sysd["aux"])
     st = multi(sysd["state"], sysd["ff"], steps)
     E = st.energies

@@ -135,3 +135,26 @@ def test_debug_invariants_clean_and_detect():
     import pytest as _pt
     with _pt.raises(AssertionError):
         assert_state_ok(cfg, bad)
+
+
+def test_f32_drift_envelope_matches_f64():
+    """BASELINE.md target: f32 NVE drift within a usable envelope.
+    Dense LJ, 500 steps: f64 conserves to ~1e-6; f32 must stay within
+    1e-3 relative — the reference's own regime (float32 + force caps)."""
+    import numpy as _np
+    outs = {}
+    for dt_ in ("f64", "f32"):
+        cfg, ff, state, aux = build_lj_gas(n_side=5, spacing=4.0,
+                                           temp=30.0, dtype=dt_, seed=11,
+                                           rcut=8.0)
+        step = jax.jit(make_step(cfg, aux))
+        state = step(state, ff)
+        e0 = float(state.energies.tot)
+        for _ in range(500):
+            state = step(state, ff)
+        outs[dt_] = abs(float(state.energies.tot) - e0) / max(abs(e0), 1e-9)
+    # both precisions share the truncation-jump noise of the unshifted
+    # cutoff (same as the reference); f32 must stay within a small factor
+    # of the f64 envelope plus the float resolution floor
+    assert outs["f64"] < 2e-3
+    assert outs["f32"] < max(5.0 * outs["f64"], 2e-3)
