@@ -10,3 +10,17 @@ device meshes with ``shard_map`` instead of CUDA blocks.
 """
 
 __version__ = "0.1.0"
+
+
+def load(deck_dir, **kw):
+    """Load a reference deck directory; returns the system dict
+    (cfg/ff/state/aux/ctl/fld/...)."""
+    from .runtime.setup import load_deck_dir
+    return load_deck_dir(deck_dir, **kw)
+
+
+def run(deck_dir, out_dir=".", **kw):
+    """Load and run a deck to completion (convenience wrapper around
+    ``aztotmd_tpu.runtime.runner.run_deck``)."""
+    from .runtime.runner import run_deck
+    return run_deck(deck_dir, out_dir=out_dir, **kw)

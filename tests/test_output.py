@@ -75,7 +75,8 @@ def test_runner_end_to_end_case2(tmp_path, case2_dir):
     """Short case-study-2 run: all output files exist and parse."""
     from aztotmd_tpu.runtime.runner import run_deck
     out = str(tmp_path)
-    run_deck(case2_dir, out_dir=out, n_steps=20, quiet=True)
+    r = run_deck(case2_dir, out_dir=out, n_steps=10, quiet=True)
+    assert int(r.state.step) == 10
     files = os.listdir(out)
     # case study 2's rdf directive ends with "-nucl" -> no rdf_n.dat
     for f in ("stat.dat", "msd.dat", "rdf.dat", "revcon.xyz",
@@ -84,8 +85,8 @@ def test_runner_end_to_end_case2(tmp_path, case2_dir):
     stat = open(os.path.join(out, "stat.dat")).read().splitlines()
     assert stat[0].startswith("time\tstep\tengTot")
     assert "engTerm" in stat[0]           # radiative thermostat column
-    # data rows at the stat period
-    assert len(stat) >= 2
+    # stat period in the deck is 200 -> only the two header lines here
+    assert len(stat) == 2
     rev = open(os.path.join(out, "revcon.xyz")).read().splitlines()
     assert rev[0].strip() == "4000"
     assert rev[1].startswith("1 ")
@@ -95,11 +96,3 @@ def test_runner_end_to_end_case2(tmp_path, case2_dir):
     assert atoms.n_atoms == 4000
 
 
-def test_runner_stat_rows_period(tmp_path, case2_dir):
-    from aztotmd_tpu.runtime.runner import run_deck
-    out = str(tmp_path)
-    r = run_deck(case2_dir, out_dir=out, n_steps=10, quiet=True)
-    # stat period in case study 2 deck is 200 -> only header lines
-    stat = open(os.path.join(out, "stat.dat")).read().splitlines()
-    assert len(stat) == 2
-    assert int(r.state.step) == 10
