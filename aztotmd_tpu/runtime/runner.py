@@ -153,12 +153,19 @@ class MDRunner:
 
                 def chunk_fn(state, hist, nhist, ff, n: int):
                     n_blocks, rem = divmod(n, p_rdf)
-                    for _ in range(n_blocks):
-                        state = base_multi(state, ff, p_rdf)
-                        hist, nhist = ops_rdf.rdf_sample(
-                            cfg, rcfg, state.pos, state.types,
-                            state.spec_number, self._spec_nuclei,
-                            self._nucl_number, hist, nhist)
+
+                    def body(carry, _):
+                        s, h, nh = carry
+                        s = base_multi(s, ff, p_rdf)
+                        h, nh = ops_rdf.rdf_sample(
+                            cfg, rcfg, s.pos, s.types, s.spec_number,
+                            self._spec_nuclei, self._nucl_number, h, nh)
+                        return (s, h, nh), None
+
+                    if n_blocks:
+                        (state, hist, nhist), _ = jax.lax.scan(
+                            body, (state, hist, nhist), None,
+                            length=n_blocks)
                     if rem:
                         state = base_multi(state, ff, rem)
                     return state, hist, nhist
