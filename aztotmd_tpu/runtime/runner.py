@@ -233,43 +233,48 @@ class MDRunner:
         st = self.state
         if self.p_stat and step % self.p_stat == 0:
             t = step * self.cfg.dt
-            E = st.energies
+            # ONE batched device->host fetch: each blocking scalar pull
+            # over the axon tunnel costs a ~100 ms round trip; a dozen of
+            # them per sample dominated dense-deck runs
+            (E, pos_mom, neg_mom, pressure, spec_number, cross_pos,
+             cross_neg, n_bond, bt_count, bt_r_mean, bt_lt_mean,
+             n_jump, jump_pos, jump_neg, pos0_row, over) = jax.device_get(
+                (st.energies, st.pos_mom, st.neg_mom, st.pressure,
+                 st.spec_number, st.cross_pos, st.cross_neg, st.n_bond,
+                 st.bt_count, st.bt_r_mean, st.bt_lt_mean, st.n_jump,
+                 st.jump_pos, st.jump_neg, st.pos[0, 0],
+                 (st.cell_overflow, st.nbr_over, st.nbr_viol)))
             eng = {k: float(getattr(E, k)) for k in
                    ("tot", "kin", "vdw", "coul1", "coul2", "bond",
                     "angle", "temp")}
-            pos_mom = np.asarray(st.pos_mom)
-            neg_mom = np.asarray(st.neg_mom)
-            spec_number = np.asarray(st.spec_number)
             self.w_stat.write_row(t, step, eng, pos_mom, neg_mom,
-                                  float(st.pressure), spec_number)
+                                  float(pressure), spec_number)
             if self.w_bnd:
-                self.w_bnd.write_row(t, step, int(st.n_bond),
-                                     np.asarray(st.bt_count),
-                                     np.asarray(st.bt_r_mean),
-                                     np.asarray(st.bt_lt_mean))
-            self.w_msd.write_row(t, step, np.asarray(st.cross_pos),
-                                 np.asarray(st.cross_neg))
+                self.w_bnd.write_row(t, step, int(n_bond), bt_count,
+                                     bt_r_mean, bt_lt_mean)
+            self.w_msd.write_row(t, step, cross_pos, cross_neg)
             if self.w_jmp:
-                self.w_jmp.write_row(t, step, int(st.n_jump),
-                                     int(st.jump_pos), int(st.jump_neg))
+                self.w_jmp.write_row(t, step, int(n_jump),
+                                     int(jump_pos), int(jump_neg))
             self.w_msdd.write_row(t, step, np.asarray(st.pos),
-                                  np.asarray(st.cross_neg),
-                                  np.asarray(st.cross_pos))
+                                  cross_neg, cross_pos)
             if not self.quiet:
-                self._console(step, eng)
-            self._check_overflow()
+                self._console(step, eng, float(pos0_row),
+                              float(pressure), int(n_bond))
+            self._check_overflow(int(over[0]), int(over[1]), int(over[2]))
 
         if self.w_hist and step % self.p_hist == 0:
             from .. import units
-            E = st.energies
+            i1 = 1 if self.cfg.n_at > 1 else 0
+            (E, neg_mom, pos_mom, p1x, p1y) = jax.device_get(
+                (st.energies, st.neg_mom, st.pos_mom,
+                 st.pos[i1, 0], st.pos[i1, 1]))
             temp = 2.0 * float(E.kin) / (units.KB * max(self.cfg.deg_free, 1))
             q1 = float(self.ff.spec_charge[st.types[1]]) \
                 if self.cfg.n_at > 1 else 0.0
-            i1 = 1 if self.cfg.n_at > 1 else 0
             self.w_hist.write_row(
                 step * self.cfg.dt, step, float(E.tot), temp,
-                float(st.pos[i1, 0]), float(st.pos[i1, 1]), q1,
-                np.asarray(st.neg_mom), np.asarray(st.pos_mom))
+                float(p1x), float(p1y), q1, neg_mom, pos_mom)
 
         if self.w_vaf and step % self.p_vaf == 0:
             self.w_vaf.write_row(step * self.cfg.dt, step,
@@ -310,27 +315,35 @@ class MDRunner:
             save_checkpoint(os.path.join(self.out_dir, "checkpoint.npz"),
                             st, {"step": step})
 
-    def _console(self, step, eng):
-        st = self.state
-        parts = [f"{step} x1={float(st.pos[0, 0]):.2f}"]
+    def _console(self, step, eng, x1, pressure, n_bond):
+        parts = [f"{step} x1={x1:.2f}"]
         if self.cfg.elec_type:
             parts.append(f"C1={eng['coul1']:.3G}, C2={eng['coul2']:.3G}")
         if self.cfg.use_bnd == 2:
-            parts.append(f"nBnd={int(st.n_bond)}")
+            parts.append(f"nBnd={n_bond}")
         if self.cfg.use_bnd:
             parts.append(f"bndEng={eng['bond']:.3G}")
         parts.append(f"Kin={eng['kin']:.3G} Vdw={eng['vdw']:.3G} "
-                     f"Tot={eng['tot']:.3G} P={float(st.pressure):.0f}")
+                     f"Tot={eng['tot']:.3G} P={pressure:.0f}")
         if self.cfg.tstat_type == TSTAT_RADI:
             parts.append(f"U={eng['temp']:.3G}")
         print(" ".join(parts), flush=True)
 
-    def _check_overflow(self):
+    def _check_overflow(self, occ=None, nbr_over=None, nbr_viol=None):
         """Monitored rebucket path: the reference corrupts memory on cell
-        overflow (cuMDfunc.cu:264-265); we detect and rebuild."""
+        overflow (cuMDfunc.cu:264-265); we detect and rebuild.  The
+        counters arrive pre-fetched from the batched sample pull."""
         import dataclasses
+        if occ is None:
+            occ = int(self.state.cell_overflow)
+        if nbr_viol and not getattr(self, "_viol_warned", False):
+            print(f"WARNING: {nbr_viol} neighbor-skin violations so far; "
+                  "consider a thicker nb_skin or shorter nb_rebuild",
+                  file=sys.stderr)
+            self._viol_warned = True
         if self.cfg.pair_engine == "neighbor":
-            over = int(self.state.nbr_over)
+            over = int(self.state.nbr_over) if nbr_over is None \
+                else nbr_over
             if over > self.cfg.n_neigh:
                 from ..core.config import _round_up
                 new_k = _round_up(over + max(4, over // 4), 4)
