@@ -53,7 +53,7 @@ class MDRunner:
         os.makedirs(out_dir, exist_ok=True)
 
         cfg, ctl, fld = self.cfg, self.ctl, self.fld
-        self.multi = make_multi_step(cfg, self.aux)
+        self.multi = make_multi_step(cfg, self.aux, donate=True)
 
         # --- sampling periods (0 = off) ---
         self.p_stat = ctl.stat
@@ -356,7 +356,8 @@ class MDRunner:
                 self.state = self.state.replace(
                     nbr_idx=jax.numpy.asarray(pad),
                     nbr_ref=self.state.nbr_ref + 1e9)   # force rebuild
-                self.multi = make_multi_step(self.cfg, self.aux)
+                self.multi = make_multi_step(self.cfg, self.aux,
+                                             donate=True)
         # cell_overflow tracks the NB grid in neighbor mode, the main
         # grid otherwise — compare against the right capacity
         g = (self.cfg.nb_grid if self.cfg.pair_engine == "neighbor"
@@ -374,7 +375,8 @@ class MDRunner:
                 self.cfg = dataclasses.replace(self.cfg, nb_grid=new_grid)
             else:
                 self.cfg = dataclasses.replace(self.cfg, grid=new_grid)
-            self.multi = make_multi_step(self.cfg, self.aux)
+            self.multi = make_multi_step(self.cfg, self.aux,
+                                         donate=True)
 
     # ------------------------------------------------------------------
     def _write_rdf(self, path):

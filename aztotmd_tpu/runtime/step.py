@@ -220,7 +220,8 @@ def make_step(cfg, aux: StepAux | None = None,
     return step
 
 
-def make_multi_step(cfg, aux: StepAux | None = None, jit: bool = True):
+def make_multi_step(cfg, aux: StepAux | None = None, jit: bool = True,
+                    donate: bool = False):
     """n-step scan: state <- step^n(state), no host sync inside.
 
     With the Verlet-list engine the list is rebuilt UNCONDITIONALLY
@@ -257,4 +258,7 @@ def make_multi_step(cfg, aux: StepAux | None = None, jit: bool = True):
                 state = block(state, rem)
             return state
 
-    return jax.jit(multi, static_argnums=2) if jit else multi
+    if not jit:
+        return multi
+    return jax.jit(multi, static_argnums=2,
+                   donate_argnums=(0,) if donate else ())

@@ -149,3 +149,26 @@ def test_fennel_shifted_force_vanishes_at_cutoff():
     g = jax.grad(e_of_r)(0.5 * rc)
     f_ref = -float(g) / (0.5 * rc)
     assert float(f[1]) == pytest.approx(f_ref, rel=1e-9)
+
+
+def test_neighbor_engine_coulomb_matches_all_pairs():
+    """Charged system through the Verlet-list engine (real-space Ewald
+    fused into the pair pass) vs the all-pairs oracle."""
+    import dataclasses
+    jax.config.update("jax_enable_x64", True)
+    from aztotmd_tpu.ops import neighbors as nbr
+    from aztotmd_tpu.ops.pairs import all_pairs_forces
+    cfg, ff, state, aux = nacl_system(n_side=2, alpha=0.6, kmax=14,
+                                      jitter=0.2, seed=4)
+    if cfg.pair_engine != "neighbor":
+        cfg = dataclasses.replace(cfg, pair_engine="neighbor")
+    idx, nmax, occ = nbr.build_neighbors(cfg, state.pos)
+    assert int(nmax) <= cfg.n_neigh
+    pr = nbr.pair_forces_neighbors(cfg, ff, state.pos, state.types, idx)
+    po = all_pairs_forces(cfg, ff, state.pos, state.types)
+    np.testing.assert_allclose(np.asarray(pr.frc), np.asarray(po.frc),
+                               rtol=1e-9, atol=1e-10)
+    assert float(pr.eng_coul) == pytest.approx(float(po.eng_coul),
+                                               rel=1e-10)
+    assert float(pr.eng_vdw) == pytest.approx(float(po.eng_vdw),
+                                              rel=1e-10)
