@@ -158,3 +158,19 @@ def test_f32_drift_envelope_matches_f64():
     # of the f64 envelope plus the float resolution floor
     assert outs["f64"] < 2e-3
     assert outs["f32"] < max(5.0 * outs["f64"], 2e-3)
+
+
+def test_shiftx_applies_constant_z_force():
+    """shiftX directive: atoms beyond the x threshold get F_z = shiftVal
+    (serial integrators.cpp:30-36)."""
+    import dataclasses
+    cfg, ff, state, aux = build_lj_gas(dtype="f64", seed=6, rcut=4.0)
+    cfg = dataclasses.replace(cfg, shift_x=float(cfg.box[0]) / 2,
+                              shift_val=0.25)
+    from aztotmd_tpu.ops.integrate import verlet1
+    upd, _ = verlet1(cfg, ff, state)
+    pos, frc = np.asarray(upd["pos"]), np.asarray(upd["frc"])
+    right = pos[:, 0] > cfg.shift_x
+    assert right.any() and (~right).any()
+    np.testing.assert_allclose(frc[right, 2], 0.25)
+    np.testing.assert_allclose(frc[~right, 2], 0.0)
