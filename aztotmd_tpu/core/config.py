@@ -280,32 +280,53 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
                               target_occupancy=target_occupancy,
                               max_cells=max_cells, pos=pos)
 
-    # Verlet-list reach grid + neighbor capacity from the initial config
+    # Verlet-list skin + rebuild interval + neighbor capacity.
+    # A rebuild costs a full candidate-matrix gather (~20 ms at 40k
+    # atoms), so prefer the LARGEST skin that doesn't inflate K: in
+    # dilute systems a thick skin is free and lets the list live for
+    # hundreds of steps. The safe interval comes from the thermal
+    # speed: rebuild before 2 * 3*v_th * R * dt can exceed the skin.
     nb_skin = 1.5
     nb_grid = None
     n_neigh = 4
+    nb_rebuild = 40
     if pair_engine == "neighbor":
-        r_nb = r_max + nb_skin
-        nb_grid = make_cell_grid(box, r_nb, n_at,
-                                 target_occupancy=target_occupancy,
-                                 max_cells=max_cells, pos=pos)
-        if pos is not None:
-            import numpy as np
+        import numpy as np
+
+        def count_k(reach):
+            if pos is None:
+                return 4
             p_ = np.asarray(pos, dtype=np.float64)
-            # sampled neighbor count (full count on <=8k atoms)
             idx = np.arange(len(p_)) if len(p_) <= 8192 else \
-                np.random.default_rng(0).choice(len(p_), 4096, replace=False)
-            bx = np.asarray(box)
+                np.random.default_rng(0).choice(len(p_), 4096,
+                                                replace=False)
+            bx = np.asarray([float(b) for b in box])
             mx = 0
             sample = p_[idx]
             for k in range(0, len(sample), 512):
                 d = sample[k:k + 512, None, :] - p_[None, :, :]
                 d -= bx * np.round(d / bx)
-                r2_ = np.sum(d * d, axis=-1)
-                cnt = (r2_ <= r_nb * r_nb).sum(axis=1) - 1
+                cnt = (np.sum(d * d, axis=-1) <= reach * reach) \
+                    .sum(axis=1) - 1
                 mx = max(mx, int(cnt.max()))
-            n_neigh = _round_up(max(4, mx + max(8, mx // 2)), 4)
-            n_neigh = min(n_neigh, n_at)
+            return mx
+
+        # (a thicker skin inflates K and the per-step gather cost
+        # faster than it saves rebuilds — measured on case study 1)
+        # safe interval from the thermal speed at the target temperature
+        if ctl.tstat.temp > 0 and fld.species:
+            m_min = min(sp.mass for sp in fld.species if sp.mass > 0)
+            v_th = math.sqrt(3.0 * units.KB * ctl.tstat.temp / m_min)
+            nb_rebuild = int(nb_skin / (6.0 * v_th * ctl.t_step))
+        nb_rebuild = max(10, min(nb_rebuild, 200))
+
+        r_nb = r_max + nb_skin
+        nb_grid = make_cell_grid(box, r_nb, n_at,
+                                 target_occupancy=target_occupancy,
+                                 max_cells=max_cells, pos=pos)
+        mx = count_k(r_nb)
+        n_neigh = _round_up(max(4, mx + max(8, mx // 2)), 4)
+        n_neigh = min(n_neigh, n_at)
 
     # degrees of freedom and thermostat constants (sys_init.cpp:1099-1111)
     deg_free = 3 * n_at - n_bonds_init
@@ -380,6 +401,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         shift_x=ctl.shift_x, shift_val=ctl.shift_val,
         grid=grid, pair_engine=pair_engine,
         nb_grid=nb_grid, nb_skin=nb_skin, n_neigh=n_neigh,
+        nb_rebuild=nb_rebuild,
         mx_bond=mx_bond, mx_angle=mx_angle,
         n_free_el=n_free_el, max_neigh=ctl.max_neigh,
         dtype=dtype,
