@@ -325,7 +325,11 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
                                  target_occupancy=target_occupancy,
                                  max_cells=max_cells, pos=pos)
         mx = count_k(r_nb)
-        n_neigh = _round_up(max(4, mx + max(8, mx // 2)), 4)
+        # tight margin: the runner's nbr_over monitor grows K and forces
+        # a rebuild if density fluctuations ever exceed it, so the
+        # initial capacity only needs modest headroom (pair-pass gather
+        # cost is directly proportional to K)
+        n_neigh = _round_up(max(4, mx + max(2, mx // 4)), 4)
         n_neigh = min(n_neigh, n_at)
 
     # degrees of freedom and thermostat constants (sys_init.cpp:1099-1111)
