@@ -75,13 +75,14 @@ def _rand_uvect_from(u, v, dtype):
 def _angled_vector(v, cos_phi, theta):
     """Unit vector at angle acos(cos_phi) from v, rotated by theta around
     it (cuTemp.cu:395-453 ``get_angled_vector``), vectorized with a
-    branch-free orthonormal basis."""
-    v1 = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    branch-free orthonormal basis (rsqrt instead of norm+divide)."""
+    v1 = v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-30)
     # branch-free perpendicular: pick the axis least aligned with v1
     ax = jnp.argmin(jnp.abs(v1), axis=-1)
     e = jax.nn.one_hot(ax, 3, dtype=v.dtype)
     v2 = jnp.cross(v1, e)
-    v2 = v2 / jnp.linalg.norm(v2, axis=-1, keepdims=True)
+    v2 = v2 * jax.lax.rsqrt(jnp.sum(v2 * v2, axis=-1, keepdims=True)
+                            + 1e-30)
     v3 = jnp.cross(v1, v2)
     sin_phi = jnp.sqrt(jnp.maximum(1.0 - cos_phi * cos_phi, 0.0))
     ct, st = jnp.cos(theta), jnp.sin(theta)
@@ -126,10 +127,11 @@ def tstat_radiative(cfg, ff, state, photons):
     # --- radiate (radiate_photon3, cuTemp.cu:631-685) ---
     do_rad = engs > 1e-4
     v02 = v12
-    v0 = jnp.sqrt(jnp.maximum(v02, 1e-30))
+    rv0 = jax.lax.rsqrt(jnp.maximum(v02, 1e-30))
+    v0 = v02 * rv0
     ph = 0.9 * engs
     ermc = ph * REV_LIGHT / mass
-    ermcv0 = ermc / v0
+    ermcv0 = ermc * rv0
     # random cosine in [-1, 1 - 2*ermc/v0], mean -ermc/v0 (momentum bias)
     xi = u[:, 2]
     cos_phi = jnp.where(ermcv0 >= 1.0, -1.0,
