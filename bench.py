@@ -28,8 +28,8 @@ def main():
     from aztotmd_tpu.runtime.setup import load_deck_dir
     from aztotmd_tpu.runtime.step import make_step
 
-    warmup = int(os.environ.get("AZTOT_BENCH_WARMUP", "20"))
-    nsteps = int(os.environ.get("AZTOT_BENCH_STEPS", "200"))
+    warmup = int(os.environ.get("AZTOT_BENCH_WARMUP", "100"))
+    nsteps = int(os.environ.get("AZTOT_BENCH_STEPS", "1000"))
 
     sysd = load_deck_dir(DECK)
     cfg, ff, state, aux = sysd["cfg"], sysd["ff"], sysd["state"], sysd["aux"]
