@@ -93,3 +93,47 @@ def test_no_double_binding_three_candidates():
     assert int(state.n_bond) == 1
     # B (atom 1) is bonded exactly once
     assert int(state.nbonds[1]) == 1
+
+
+def test_hbond_nbonds_convention():
+    """H-bonds (field.txt 'h-bonds' section): the heavy endpoint does not
+    count the bond toward nbonds; only the H atom gets a parent
+    (cuBonds.cu:1047-1056; bonds.cpp:85-99)."""
+    field = """
+spec 2
+O\tO\t16.0\t0.0\t0.0
+H\tH\t1.0\t0.0\t0.0
+red-ox 0
+vdw 1
+O\tO\tlnjs\t4.0\t0.005\t2.5
+bonds 1
+1 O H harm 20.0 1.0 con con
+h-bonds 1
+1 H
+"""
+    from aztotmd_tpu.io.field import parse_field
+    from aztotmd_tpu.io.toplists import parse_bondlist
+    from aztotmd_tpu.ops.bonds import refresh_derived
+    fld = parse_field(field)
+    assert fld.bonds[1].hatom == 1        # H species id
+    pos = [[5.0, 5.0, 5.0], [6.0, 5.0, 5.0], [1.0, 1.0, 1.0]]
+    names = ["O", "H", "O"]
+    types = np.array([0, 1, 0], np.int32)
+    bonds = parse_bondlist("1\n0 1 1\n", types, fld.bonds)
+    from aztotmd_tpu.io.atoms import AtomsData
+    from aztotmd_tpu.io.control import ControlSpec, ElecSpec, TStatSpec
+    ctl = ControlSpec(t_step=0.0001, n_step=2,
+                      tstat=TStatSpec(type=0, temp=10.0),
+                      elec=ElecSpec(type=0))
+    atoms = AtomsData(names=names, pos=np.asarray(pos, float),
+                      box=(10.0, 10.0, 10.0))
+    from aztotmd_tpu.runtime.setup import build_system
+    cfg, ff, state, aux = build_system(ctl, fld, atoms, bonds=bonds,
+                                       dtype="f64", seed=2)
+    state = refresh_derived(cfg, ff, state)
+    # O (atom 0) does NOT count the H-bond; H (atom 1) does
+    assert int(state.nbonds[0]) == 0
+    assert int(state.nbonds[1]) == 1
+    # only the H atom is parented
+    assert int(state.parents[1]) == 0
+    assert int(state.parents[0]) == -1
