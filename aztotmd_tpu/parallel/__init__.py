@@ -18,5 +18,22 @@ from .mesh import (make_mesh, state_shardings, ff_shardings,
                    make_sharded_step, shard_system)
 from .domain import pair_forces_domain
 
+
+def has_domain_step() -> bool:
+    """True once the spatially-sharded full step loop exists."""
+    try:
+        from . import domain_step  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def run_domain_step_demo(n_devices: int) -> None:
+    """Dryrun hook: jit + run a few sharded full steps on tiny shapes."""
+    from .domain_step import run_demo
+    run_demo(n_devices)
+
+
 __all__ = ["make_mesh", "state_shardings", "ff_shardings",
-           "make_sharded_step", "shard_system", "pair_forces_domain"]
+           "make_sharded_step", "shard_system", "pair_forces_domain",
+           "has_domain_step", "run_domain_step_demo"]
