@@ -101,9 +101,13 @@ def _mutation_energies(cfg, ff, state):
     return dU_ox, dU_red
 
 
-def do_jumps(cfg, ff, state, jump_idx):
+def do_jumps(cfg, ff, state, jump_idx, active=None):
     """Perform electron jumps for donor atoms with candidate acceptors.
-    jump_idx[i] = nearest acceptor of donor i (sentinel n_at)."""
+    jump_idx[i] = nearest acceptor of donor i (sentinel n_at).
+
+    `active`: optional scalar bool gating the whole pass — the jmp_rare
+    frequency schedule (ejump.cpp:592-597) masks acceptance instead of
+    branching (a TPU lax.cond may execute both branches)."""
     N = cfg.n_at
     dt = state.pos.dtype
     types = state.types
@@ -111,6 +115,8 @@ def do_jumps(cfg, ff, state, jump_idx):
 
     don = (ff.spec_donacc[types] & 1) != 0
     has = don & (jump_idx < N)
+    if active is not None:
+        has = has & active
     acc = jnp.clip(jump_idx, 0, N - 1)
     acc_t = types[acc]
     has = has & ((ff.spec_donacc[acc_t] & 2) != 0)

@@ -164,9 +164,27 @@ def make_step(cfg, aux: StepAux | None = None,
             state = ops_bonds.create_bonds(cfg, ff, state,
                                            pr.bind_idx, pr.bind_r2)
 
-        # --- electron jumps ---
+        # --- electron jumps (frequency gating: ejump.cpp:592-617) ---
         if cfg.ejtype:
-            state = ops_ejump.do_jumps(cfg, ff, state, pr.jump_idx)
+            f = int(cfg.ejump_freq)
+            if f < 0:
+                # jmp_rare: one jump pass every |f| steps — gate by
+                # masking acceptance (a lax.cond may run both branches
+                # on TPU; the mask costs nothing)
+                active = (state.step % (-f)) == 0
+                state = ops_ejump.do_jumps(cfg, ff, state, pr.jump_idx,
+                                           active=active)
+            elif f <= 4:
+                # jmp_oft: f jump passes per step over this step's
+                # candidates (each pass sees the types the previous one
+                # mutated, so conflict-blocked donors can retry)
+                for _ in range(max(f, 1)):
+                    state = ops_ejump.do_jumps(cfg, ff, state,
+                                               pr.jump_idx)
+            else:
+                state = jax.lax.fori_loop(
+                    0, f, lambda _, s: ops_ejump.do_jumps(
+                        cfg, ff, s, pr.jump_idx), state)
 
         # --- valence angles ---
         eng_angle = jnp.zeros((), fdt)

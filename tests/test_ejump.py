@@ -80,6 +80,42 @@ def test_jump_counter_increments_when_jump_happens():
         assert types1[0] == 1 and types1[1] == 0
 
 
+FIELD_EQ = FIELD.replace("2.0\t0.5", "2.0\t0.0")  # equal own energies
+
+
+def gated_system(ejump: int):
+    """eq-scheme deck where dU = 0, so a jump fires on every allowed
+    pass (the pair flip-flops); n_jump then counts the pass schedule."""
+    from aztotmd_tpu.io.control import JUMP_EQ
+    fld = parse_field(FIELD_EQ)
+    pos = np.array([[3.0, 3.0, 3.0], [4.5, 3.0, 3.0],
+                    [9.0, 9.0, 9.0], [9.0, 9.0, 3.0]])
+    names = ["Fe2", "Fe3", "Fe2", "Fe2"]
+    ctl = ControlSpec(t_step=0.0001, n_step=6,
+                      tstat=TStatSpec(type=0, temp=300.0),
+                      elec=ElecSpec(type=ELEC_DIRECT, r_real=6.0))
+    ctl.ejump = ejump
+    ctl.ejtype = JUMP_EQ
+    ctl.d_ejump = 1.0
+    ctl.r_elec = 2.0
+    atoms = AtomsData(names=names, pos=pos, box=(12.0, 12.0, 12.0))
+    return build_system(ctl, fld, atoms, dtype="f64", seed=5)
+
+
+def test_ejump_frequency_gating():
+    """jmp_rare/jmp_oft schedules (ejump.cpp:592-617): eJump -3 attempts
+    jumps only on steps 0,3,...; eJump 1 every step; eJump 2 twice per
+    step."""
+    for ejump, expect in ((1, 6), (-3, 2), (2, 12)):
+        cfg, ff, state, aux = gated_system(ejump)
+        assert cfg.ejump_freq == ejump
+        step = jax.jit(make_step(cfg, aux))
+        for _ in range(6):
+            state = step(state, ff)
+        assert int(state.n_jump) == expect, \
+            f"eJump {ejump}: got {int(state.n_jump)}, want {expect}"
+
+
 def test_metropolis_scheme_runs():
     cfg, ff, state, aux = redox_system(scheme=JUMP_METR)
     step = jax.jit(make_step(cfg, aux))
