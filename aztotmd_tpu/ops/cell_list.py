@@ -34,10 +34,14 @@ def cell_ids(cfg, coords):
 
 
 def build_cell_table(cfg, pos):
-    """Build the (n_cell, cap) atom-index table.
+    """Build the FLAT (n_cell * cap,) atom-index table.
 
     Returns (table, max_occupancy).  Empty slots hold the sentinel index
     ``n_at`` (callers pad per-atom arrays with one extra row).
+
+    The table stays 1-D on purpose: a (n_cell, cap~4) layout would
+    lane-pad the trailing dim to 128 on TPU (32x memory blowup on large
+    grids) and every stencil gather would read the padding.
     """
     N = cfg.n_at
     grid = cfg.grid
@@ -58,7 +62,7 @@ def build_cell_table(cfg, pos):
     table = table.at[slot].set(order.astype(jnp.int32), mode="drop")
 
     max_occ = jnp.max(rank) + 1
-    return table.reshape(n_cell, cap), max_occ
+    return table, max_occ
 
 
 def stencil_offsets(cfg):
@@ -79,10 +83,14 @@ def gather_candidates(cfg, table, coords):
     race-free and perfectly regular for the VPU.
     """
     grid = cfg.grid
+    cap = grid.cap
     dims = jnp.asarray(grid.dims, jnp.int32)
     offs = jnp.asarray(stencil_offsets(cfg))              # (S, 3)
     ncoord = (coords[:, None, :] + offs[None, :, :]) % dims   # (N, S, 3)
     _, ncy, ncz = grid.dims
     ncid = (ncoord[..., 0] * ncy + ncoord[..., 1]) * ncz + ncoord[..., 2]
-    cand = table[ncid]                                    # (N, S, cap)
-    return cand.reshape(cand.shape[0], -1)                # (N, S*cap)
+    # flat-index gather from the 1-D table: (N, S) cell ids expand to
+    # (N, S*cap) slot ids — one clean 1-D gather, no lane padding
+    slots = (ncid[:, :, None] * cap
+             + jnp.arange(cap, dtype=jnp.int32)[None, None, :])
+    return table[slots.reshape(slots.shape[0], -1)]       # (N, S*cap)

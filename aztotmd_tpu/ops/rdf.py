@@ -80,12 +80,33 @@ def zero_hist(rcfg: RdfConfig, dtype=jnp.float32):
     return (h, nh) if rcfg.nuclei else (h, None)
 
 
+def _hist_counts(flat, n_slot: int, dtype):
+    """Histogram COUNTS of int32 ids in [0, n_slot) (ids == n_slot are
+    dropped) via one global sort + ``searchsorted`` — O(E log E).
+
+    Alternatives measured and rejected: a TPU scatter serializes per
+    source element (the (N, M)-candidate scatter onto a ~700-slot
+    histogram cost ~200 ms/sample on cs1); a (n_slot, E) masked-compare
+    reduction is O(E*n_slot), which explodes on dense decks (cs2:
+    E~20M x 2400 slots = 48 G ops/sample).  Sort + binary-searched bin
+    edges is scatter-free, compare-matrix-free, and exact."""
+    ids = jnp.sort(flat.reshape(-1))
+    edges = jnp.arange(n_slot + 1, dtype=ids.dtype)
+    pos = jnp.searchsorted(ids, edges, side="left")
+    return jnp.diff(pos).astype(dtype)
+
+
 def rdf_sample(cfg, rcfg: RdfConfig, pos, types, spec_number,
                spec_nuclei, nucl_number, hist, nhist=None):
     """Accumulate one RDF sample into the histogram(s).
 
     ``spec_nuclei``: (n_spec,) nucleus id per species; ``nucl_number``:
     (n_nucl,) atom counts per nucleus.  Returns updated (hist, nhist).
+
+    The per-pair weight 2*V/(N_i*N_j) depends only on the species pair,
+    which the flat bin id already encodes — so the histogram reduces to
+    integer COUNTS per (bin, pair) slot (no scatter; see _hist_counts)
+    scaled by a tiny per-pair weight table.
     """
     import dataclasses
     N = cfg.n_at
@@ -119,28 +140,30 @@ def rdf_sample(cfg, rcfg: RdfConfig, pos, types, spec_number,
     tj = types_p[cand]
     ip = pair_index(rcfg.n_spec, ti, tj)
 
+    B = rcfg.n_bin * rcfg.n_pair
+    flat = jnp.where(mask, ib * rcfg.n_pair + ip, B)       # drop slot
+    counts = _hist_counts(flat, B, dt).reshape(rcfg.n_bin, rcfg.n_pair)
+
+    # per-species-pair weight tables over the static upper triangle
+    iu, ju = np.triu_indices(rcfg.n_spec)
     vol = jnp.asarray(cfg.volume, dt)
     num = spec_number.astype(dt)
-    w = 2.0 * vol / (num[jnp.minimum(ti, tj)] * num[jnp.maximum(ti, tj)])
-    w = jnp.where(mask, w, 0.0)
-
-    flat = jnp.where(mask, ib * rcfg.n_pair + ip,
-                     rcfg.n_bin * rcfg.n_pair)       # drop slot
-    hist = hist.reshape(-1).at[flat.reshape(-1)].add(
-        w.reshape(-1), mode="drop").reshape(hist.shape)
+    w_tab = 2.0 * vol / (num[iu] * num[ju])                # (n_pair,)
+    hist = hist + counts * w_tab[None, :]
 
     if rcfg.nuclei and nhist is not None:
-        ni = spec_nuclei[ti]
-        nj = spec_nuclei[tj]
-        inp = pair_index(rcfg.n_nucl, ni, nj)
+        # species-pair -> nucleus-pair fold: a (n_pair, n_npair) matrix
+        # carrying the nucleus-pair weights (several species pairs can
+        # map to one nucleus pair)
+        ni = spec_nuclei[jnp.asarray(iu)]
+        nj = spec_nuclei[jnp.asarray(ju)]
+        inp = pair_index(rcfg.n_nucl, ni, nj)              # (n_pair,)
         nnum = nucl_number.astype(dt)
         nw = 2.0 * vol / (nnum[jnp.minimum(ni, nj)]
                           * nnum[jnp.maximum(ni, nj)])
-        nw = jnp.where(mask, nw, 0.0)
-        nflat = jnp.where(mask, ib * rcfg.n_npair + inp,
-                          rcfg.n_bin * rcfg.n_npair)
-        nhist = nhist.reshape(-1).at[nflat.reshape(-1)].add(
-            nw.reshape(-1), mode="drop").reshape(nhist.shape)
+        fold = (inp[:, None] == jnp.arange(rcfg.n_npair)[None, :]) \
+            .astype(dt) * nw[:, None]
+        nhist = nhist + counts @ fold
 
     return hist, nhist
 
