@@ -108,7 +108,14 @@ def tstat_radiative(cfg, ff, state, photons):
     engs = state.engs
 
     key, kr = jax.random.split(state.rng)
-    u = jax.random.uniform(kr, (N, 4), dt)    # one fused RNG draw
+    # one fused RNG draw, half the threefry work: the four per-atom
+    # uniforms (two for the absorb direction, cosine + azimuth for the
+    # emit) only need ~16-bit resolution (the reference used xorshift128
+    # floats), so split two 32-bit draws into four 16-bit uniforms
+    bits = jax.random.bits(kr, (N, 2), jnp.uint32)
+    lo = (bits & jnp.uint32(0xffff)).astype(dt)
+    hi = (bits >> jnp.uint32(16)).astype(dt)
+    u = jnp.concatenate([lo, hi], axis=1) * dt.type(1.0 / 65536.0)
 
     # rotating photon index (the reference walks the table by per-block
     # atomicAdd of curEng; a stride by a large odd constant per step gives
