@@ -270,9 +270,14 @@ class MsdDisplWriter(_FileWriter):
         np.add.at(acc, self.types, r2)
         acc = np.divide(acc, self.counts,
                         out=np.zeros_like(acc), where=self.counts > 0)
+        self.write_row_msd(time, step, acc, cross_neg, cross_pos)
+
+    def write_row_msd(self, time, step, msd, cross_neg, cross_pos):
+        """Row from per-species MSD values computed on device (the stat
+        ring path — avoids pulling the full position array per sample)."""
         cols = [_f(time), str(int(step))]
         for i in range(self.n_spec):
-            cols += [_f(acc[i]), str(int(cross_neg[i, 0])),
+            cols += [_f(msd[i]), str(int(cross_neg[i, 0])),
                      str(int(cross_pos[i, 0]))]
         self.fh.write("\t".join(cols) + "\n")
 

@@ -22,6 +22,7 @@ import numpy as np
 from ..io.control import TSTAT_RADI
 from ..ops import rdf as ops_rdf
 from ..output import writers as W
+from . import statring
 from .checkpoint import save_checkpoint
 from .step import make_multi_step
 
@@ -53,7 +54,6 @@ class MDRunner:
         os.makedirs(out_dir, exist_ok=True)
 
         cfg, ctl, fld = self.cfg, self.ctl, self.fld
-        self.multi = make_multi_step(cfg, self.aux, donate=True)
 
         # --- sampling periods (0 = off) ---
         self.p_stat = ctl.stat
@@ -123,6 +123,7 @@ class MDRunner:
                                        cfg.box, cfg.n_spec)
 
         # --- RDF ---
+        import jax.numpy as jnp
         self.rcfg = ops_rdf.make_rdf_config(ctl, cfg)
         self.rdf_count = 0
         if self.rcfg is not None:
@@ -132,11 +133,53 @@ class MDRunner:
             nucl_number = np.zeros(max(cfg.n_nucl, 1), np.int64)
             for t in np.asarray(self.state.types):
                 nucl_number[spec_nuclei[t]] += 1
-            import jax.numpy as jnp
             self._spec_nuclei = jnp.asarray(spec_nuclei)
             self._nucl_number = jnp.asarray(nucl_number.astype(np.int32))
-            rcfg = self.rcfg
 
+        # --- on-device stat ring eligibility (statring.py) ---
+        # every host-visible period must land on a stat boundary and the
+        # RDF period must divide the stat period, so whole stat periods
+        # (with their RDF sub-blocks) scan on device and the sample rows
+        # come back as one batched flush per many periods
+        self._host_periods = [p for p in
+                              (self.p_traj, self.p_revcon, self.p_bindtraj,
+                               self.p_hist, self.p_vaf, checkpoint_every,
+                               self.p_rdf_out) if p]
+        self.ring_ok = self.p_stat > 0 and all(
+            p % self.p_stat == 0 for p in self._host_periods) \
+            and not os.environ.get("AZTOTMD_NO_RING")
+        if self.rcfg is not None and self.p_rdf:
+            self.ring_ok = self.ring_ok and (self.p_stat % self.p_rdf == 0)
+        if self.ring_ok:
+            # dispatches target ~this many steps (tunnel round trips are
+            # ~100 ms; the flush pipeline hides the host write time)
+            target = int(os.environ.get("AZTOTMD_RING_STEPS", "8000"))
+            self.s_cap = max(1, min(512, target // self.p_stat or 1))
+            self._spec_counts0 = np.bincount(
+                np.asarray(self.state.types), minlength=cfg.n_spec)
+            (self._fsl, self._nf, self._isl, self._ni) = \
+                statring.make_layout(cfg.n_spec, max(cfg.n_bond_types, 1))
+            if self.rcfg is None:
+                # dummy histograms keep the ring signature uniform
+                self.hist = jnp.zeros((1,), jnp.float32)
+                self.nhist = jnp.zeros((1,), jnp.float32)
+
+        self._build_programs()
+
+        from ..utils import StageTimer
+        self.profile = profile
+        self.debug = debug
+        self.timer = StageTimer()
+        self._t0 = time.time()
+
+    # ------------------------------------------------------------------
+    def _build_programs(self):
+        """(Re)build all jitted programs from the current cfg — called at
+        init and after a capacity auto-grow rebuild."""
+        cfg, rcfg = self.cfg, self.rcfg
+        self.multi = make_multi_step(cfg, self.aux, donate=True)
+
+        if rcfg is not None:
             @jax.jit
             def _rdf(pos, types, spec_number, hist, nhist):
                 return ops_rdf.rdf_sample(cfg, rcfg, pos, types,
@@ -144,39 +187,66 @@ class MDRunner:
                                           self._nucl_number, hist, nhist)
             self._rdf_fn = _rdf
 
-            if self.rdf_in_chunk:
-                # fused chunk: scan fr_rdf-step blocks, accumulating the
-                # RDF histogram on device at each block boundary — one
-                # host dispatch per chunk instead of one per RDF sample
-                base_multi = self.multi
-                p_rdf = self.p_rdf
+        if rcfg is not None and self.rdf_in_chunk:
+            # fused chunk: scan fr_rdf-step blocks, accumulating the
+            # RDF histogram on device at each block boundary — one
+            # host dispatch per chunk instead of one per RDF sample
+            base = self.multi
+            p_rdf = self.p_rdf
 
-                def chunk_fn(state, hist, nhist, ff, n: int):
-                    n_blocks, rem = divmod(n, p_rdf)
+            def chunk_fn(state, hist, nhist, ff, n: int):
+                n_blocks, rem = divmod(n, p_rdf)
 
-                    def body(carry, _):
-                        s, h, nh = carry
-                        s = base_multi(s, ff, p_rdf)
+                def body(carry, _):
+                    s, h, nh = carry
+                    s = base(s, ff, p_rdf)
+                    h, nh = ops_rdf.rdf_sample(
+                        cfg, rcfg, s.pos, s.types, s.spec_number,
+                        self._spec_nuclei, self._nucl_number, h, nh)
+                    return (s, h, nh), None
+
+                if n_blocks:
+                    (state, hist, nhist), _ = jax.lax.scan(
+                        body, (state, hist, nhist), None,
+                        length=n_blocks)
+                if rem:
+                    state = base(state, ff, rem)
+                return state, hist, nhist
+
+            self._chunk_rdf_fn = jax.jit(chunk_fn, static_argnums=4)
+
+        if self.ring_ok:
+            base = make_multi_step(cfg, self.aux, jit=False)
+            stat_row = statring.make_stat_row(cfg, self._spec_counts0)
+            p_stat, p_rdf = self.p_stat, self.p_rdf
+            fuse_rdf = rcfg is not None and bool(p_rdf)
+
+            def stat_block(s, h, nh, ff):
+                if fuse_rdf:
+                    def body(c, _):
+                        s, h, nh = c
+                        s = base(s, ff, p_rdf)
                         h, nh = ops_rdf.rdf_sample(
                             cfg, rcfg, s.pos, s.types, s.spec_number,
                             self._spec_nuclei, self._nucl_number, h, nh)
                         return (s, h, nh), None
+                    (s, h, nh), _ = jax.lax.scan(
+                        body, (s, h, nh), None, length=p_stat // p_rdf)
+                else:
+                    s = base(s, ff, p_stat)
+                return s, h, nh
 
-                    if n_blocks:
-                        (state, hist, nhist), _ = jax.lax.scan(
-                            body, (state, hist, nhist), None,
-                            length=n_blocks)
-                    if rem:
-                        state = base_multi(state, ff, rem)
-                    return state, hist, nhist
+            def ring(s, h, nh, ff, n_samples: int):
+                def body(c, _):
+                    s, h, nh = c
+                    s, h, nh = stat_block(s, h, nh, ff)
+                    return (s, h, nh), stat_row(s)
+                (s, h, nh), (frows, irows) = jax.lax.scan(
+                    body, (s, h, nh), None, length=n_samples)
+                return s, h, nh, frows, irows
 
-                self._chunk_rdf_fn = jax.jit(chunk_fn, static_argnums=4)
-
-        from ..utils import StageTimer
-        self.profile = profile
-        self.debug = debug
-        self.timer = StageTimer()
-        self._t0 = time.time()
+            self._ring_fn = jax.jit(ring, static_argnums=4,
+                                    donate_argnums=(0, 1, 2))
 
     # ------------------------------------------------------------------
     def run(self, n_steps: int | None = None):
@@ -198,6 +268,8 @@ class MDRunner:
         return self.state
 
     def _run_loop(self, total, done):
+        if self.ring_ok:
+            return self._run_loop_ring(total, done)
         profile = self.profile
         while done < total:
             n = min(self.chunk, total - done)
@@ -216,6 +288,101 @@ class MDRunner:
             if self.debug:
                 from .debug import assert_state_ok
                 assert_state_ok(self.cfg, self.state)
+
+    def _run_loop_ring(self, total, done):
+        """On-device stat ring loop: scan s_cap stat periods per dispatch,
+        emitting sample rows as the scan's stacked output; flush the
+        previous dispatch's rows while the device runs the next one
+        (the reference's write_stat ring + stat_iter flush,
+        cuStat.cu:17-71, 387-404). Overflow reactions therefore lag one
+        dispatch — same detect-after-the-fact semantics as before, wider
+        window."""
+        p = self.p_stat
+        pending = None
+        try:
+            while done < total:
+                nxt = self._next_host_event(done, total)
+                while (nxt - done) >= p:
+                    n_samp = min(self.s_cap, (nxt - done) // p)
+                    if self.profile:
+                        with self.timer.stage("steps",
+                                              lambda: self.state.pos):
+                            out = self._ring_fn(self.state, self.hist,
+                                                self.nhist, self.ff,
+                                                n_samp)
+                    else:
+                        out = self._ring_fn(self.state, self.hist,
+                                            self.nhist, self.ff, n_samp)
+                    self.state, self.hist, self.nhist, fr, ir = out
+                    done += n_samp * p
+                    if self.rcfg is not None and self.p_rdf:
+                        self.rdf_count += n_samp * (p // self.p_rdf)
+                    if pending is not None:
+                        self._flush_rows(*pending)
+                    pending = (fr, ir)
+                    if self.rcfg is not None and self.rdf_count > 500:
+                        # overfill quirk (cuStat.cu:583)
+                        self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
+                        self.rdf_count = 0
+                if pending is not None:
+                    self._flush_rows(*pending)
+                    pending = None
+                if done < nxt:
+                    # tail shorter than one stat period (no sample row)
+                    self._advance(nxt - done)
+                    done = nxt
+                self._sample_rest(done)
+                if self.debug:
+                    from .debug import assert_state_ok
+                    assert_state_ok(self.cfg, self.state)
+        finally:
+            if pending is not None:
+                self._flush_rows(*pending)
+
+    def _next_host_event(self, done, total):
+        nxt = total
+        for p in self._host_periods:
+            nxt = min(nxt, (done // p + 1) * p)
+        return nxt
+
+    def _flush_rows(self, frows, irows):
+        """Decode one dispatch's sample rows into the stat writers."""
+        if self.profile:
+            with self.timer.stage("sampling"):
+                self._flush_rows_impl(frows, irows)
+        else:
+            self._flush_rows_impl(frows, irows)
+
+    def _flush_rows_impl(self, frows, irows):
+        fr = np.asarray(frows)      # blocks until the dispatch finishes
+        ir = np.asarray(irows)
+        fsl, isl = self._fsl, self._isl
+        nsp = self.cfg.n_spec
+        over = np.max(ir[:, isl["over"]], axis=0)
+        for k in range(fr.shape[0]):
+            f, i = fr[k], ir[k]
+            step = int(i[isl["step"]][0])
+            t = step * self.cfg.dt
+            eng = dict(zip(statring.ENG_KEYS, f[fsl["eng"]].tolist()))
+            press = float(f[fsl["press"]][0])
+            n_bond = int(i[isl["nbond"]][0])
+            self.w_stat.write_row(t, step, eng, f[fsl["pos_mom"]],
+                                  f[fsl["neg_mom"]], press, i[isl["spec"]])
+            cpos = i[isl["cpos"]].reshape(nsp, 3)
+            cneg = i[isl["cneg"]].reshape(nsp, 3)
+            if self.w_bnd:
+                self.w_bnd.write_row(t, step, n_bond, i[isl["btc"]],
+                                     f[fsl["bt_r"]], f[fsl["bt_lt"]])
+            self.w_msd.write_row(t, step, cpos, cneg)
+            if self.w_jmp:
+                self.w_jmp.write_row(t, step, int(i[isl["njump"]][0]),
+                                     int(i[isl["jpos"]][0]),
+                                     int(i[isl["jneg"]][0]))
+            self.w_msdd.write_row_msd(t, step, f[fsl["msd"]], cneg, cpos)
+            if not self.quiet:
+                self._console(step, eng, float(f[fsl["x1"]][0]), press,
+                              n_bond)
+        self._check_overflow(int(over[0]), int(over[1]), int(over[2]))
 
     def _advance(self, n: int):
         if self.rcfg is not None and self.rdf_in_chunk:
@@ -262,7 +429,12 @@ class MDRunner:
                 self._console(step, eng, float(pos0_row),
                               float(pressure), int(n_bond))
             self._check_overflow(int(over[0]), int(over[1]), int(over[2]))
+        self._sample_rest(step)
 
+    def _sample_rest(self, step: int):
+        """Non-stat sampling (hist/vaf/rdf/traj/revcon/checkpoint) — in
+        ring mode these fire only at host-event boundaries."""
+        st = self.state
         if self.w_hist and step % self.p_hist == 0:
             from .. import units
             i1 = 1 if self.cfg.n_at > 1 else 0
@@ -356,8 +528,7 @@ class MDRunner:
                 self.state = self.state.replace(
                     nbr_idx=jax.numpy.asarray(pad),
                     nbr_ref=self.state.nbr_ref + 1e9)   # force rebuild
-                self.multi = make_multi_step(self.cfg, self.aux,
-                                             donate=True)
+                self._build_programs()
         # cell_overflow tracks the NB grid in neighbor mode, the main
         # grid otherwise — compare against the right capacity
         g = (self.cfg.nb_grid if self.cfg.pair_engine == "neighbor"
@@ -375,8 +546,7 @@ class MDRunner:
                 self.cfg = dataclasses.replace(self.cfg, nb_grid=new_grid)
             else:
                 self.cfg = dataclasses.replace(self.cfg, grid=new_grid)
-            self.multi = make_multi_step(self.cfg, self.aux,
-                                         donate=True)
+            self._build_programs()
 
     # ------------------------------------------------------------------
     def _write_rdf(self, path):
