@@ -12,6 +12,35 @@ device meshes with ``shard_map`` instead of CUDA blocks.
 __version__ = "0.1.0"
 
 
+def _enable_compile_cache():
+    """Point JAX at a persistent compilation cache.
+
+    TPU compiles here are remote and slow (15 s - minutes per program);
+    the persistent cache makes every program after the first process
+    launch load in ~0.1-1 s (measured 25 s -> 0.2 s for a 4M-element
+    sort).  Opt out with AZTOTMD_NO_COMPILE_CACHE=1 or override the
+    location with AZTOTMD_COMPILE_CACHE=<dir>.
+    """
+    import os
+    if os.environ.get("AZTOTMD_NO_COMPILE_CACHE"):
+        return
+    path = os.environ.get(
+        "AZTOTMD_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "aztotmd_tpu",
+                     "xla"))
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:        # cache is an optimization, never fatal
+        pass
+
+
+_enable_compile_cache()
+
+
 def load(deck_dir, **kw):
     """Load a reference deck directory; returns the system dict
     (cfg/ff/state/aux/ctl/fld/...)."""

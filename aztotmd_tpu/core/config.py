@@ -26,6 +26,51 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _max_neigh_count(pos, box, reach: float, n_sample: int = 4096,
+                     seed: int = 0) -> int:
+    """Max per-atom neighbor count within ``reach`` (host side).
+
+    Cell-binned: O(n_sample x local density) instead of the
+    O(n_sample x N) all-pairs distance matrix this replaces (which cost
+    ~100 s of setup at 40k atoms).  Used only for engine auto-selection
+    and Verlet-list capacity sizing; the runtime's overflow monitors
+    correct any underestimate.
+    """
+    import numpy as np
+    p = np.asarray(pos, np.float64)
+    n = len(p)
+    if n == 0:
+        return 0
+    bx = np.asarray([float(b) for b in box])
+    dims = np.maximum((bx // max(reach, 1e-9)).astype(np.int64), 1)
+    cell = np.floor(p / bx * dims).astype(np.int64) % dims
+    cid = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    order = np.argsort(cid, kind="stable")
+    starts = np.searchsorted(cid[order], np.arange(dims.prod() + 1))
+    idx = np.arange(n) if n <= n_sample else \
+        np.random.default_rng(seed).choice(n, n_sample, replace=False)
+    # per-axis offsets; small grids collapse aliased periodic images
+    ax = [(-1, 0, 1) if d >= 3 else ((0, 1) if d == 2 else (0,))
+          for d in dims]
+    offs = [(a, b, c) for a in ax[0] for b in ax[1] for c in ax[2]]
+    r2 = reach * reach
+    mx = 0
+    for i in idx:
+        c = cell[i]
+        cand = np.concatenate([
+            order[starts[k]:starts[k + 1]]
+            for k in (((c[0] + a) % dims[0] * dims[1]
+                       + (c[1] + b) % dims[1]) * dims[2]
+                      + (c[2] + cc) % dims[2]
+                      for a, b, cc in offs)])
+        d = p[cand] - p[i]
+        d -= bx * np.round(d / bx)
+        cnt = int(np.count_nonzero(np.sum(d * d, axis=1) <= r2)) - 1
+        if cnt > mx:
+            mx = cnt
+    return mx
+
+
 @dataclass(frozen=True)
 class CellGrid:
     """Cell-list geometry (replaces src/cuCellList.cu:9-34 ``split_cells``).
@@ -256,19 +301,8 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
     if pair_engine == "auto":
         mx_cnt = 0
         if pos is not None:
-            import numpy as np
-            p_ = np.asarray(pos, dtype=np.float64)
-            idx = np.arange(len(p_)) if len(p_) <= 8192 else \
-                np.random.default_rng(0).choice(len(p_), 2048,
-                                                replace=False)
-            bx = np.asarray([float(b) for b in box])
-            r_nb_ = r_max + 1.5
-            for k in range(0, len(idx), 512):
-                d = p_[idx[k:k + 512], None, :] - p_[None, :, :]
-                d -= bx * np.round(d / bx)
-                cnt = (np.sum(d * d, axis=-1)
-                       <= r_nb_ * r_nb_).sum(axis=1) - 1
-                mx_cnt = max(mx_cnt, int(cnt.max()))
+            mx_cnt = _max_neigh_count(pos, box, r_max + 1.5,
+                                      n_sample=2048)
         pair_engine = "neighbor" if mx_cnt <= 64 else "block"
 
     if pair_engine in ("block", "pallas"):
@@ -291,25 +325,11 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
     n_neigh = 4
     nb_rebuild = 40
     if pair_engine == "neighbor":
-        import numpy as np
 
         def count_k(reach):
             if pos is None:
                 return 4
-            p_ = np.asarray(pos, dtype=np.float64)
-            idx = np.arange(len(p_)) if len(p_) <= 8192 else \
-                np.random.default_rng(0).choice(len(p_), 4096,
-                                                replace=False)
-            bx = np.asarray([float(b) for b in box])
-            mx = 0
-            sample = p_[idx]
-            for k in range(0, len(sample), 512):
-                d = sample[k:k + 512, None, :] - p_[None, :, :]
-                d -= bx * np.round(d / bx)
-                cnt = (np.sum(d * d, axis=-1) <= reach * reach) \
-                    .sum(axis=1) - 1
-                mx = max(mx, int(cnt.max()))
-            return mx
+            return _max_neigh_count(pos, box, reach, n_sample=4096)
 
         # (a thicker skin inflates K and the per-step gather cost
         # faster than it saves rebuilds — measured on case study 1)

@@ -35,8 +35,10 @@ class Energies:
 
     @staticmethod
     def zeros(dtype=jnp.float32) -> "Energies":
-        # distinct buffers per field (donation forbids aliased leaves)
-        return Energies(*[jnp.zeros((), dtype)
+        # distinct buffers per field (donation forbids aliased leaves);
+        # built from host zeros: a jnp.zeros would compile a tiny device
+        # program (~1 s each over the axon remote-compile tunnel)
+        return Energies(*[jnp.asarray(np.zeros((), dtype))
                           for _ in fields(Energies)])
 
 
@@ -127,20 +129,27 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
     """
     N = cfg.n_at
     dt = cfg.jnp_dtype
-    f3 = lambda a: jnp.asarray(np.asarray(a), dtype=dt).reshape(N, 3)
+    npdt = np.dtype(dt)
+    # ALL init values are computed on the host; the finished pytree is
+    # shipped with ONE async jax.device_put at the end.  Eager jnp ops
+    # (zeros/full/scatter/random) would each compile a tiny XLA program,
+    # and per-leaf jnp.asarray pays a synchronous tunnel round trip per
+    # leaf — both cost minutes of setup on the axon tunnel.
+    f3 = lambda a: np.asarray(a, npdt).reshape(N, 3)
     # distinct buffers everywhere: donation of the state pytree requires
     # that no two leaves alias the same device buffer
-    z3 = lambda: jnp.zeros((N, 3), dt)
+    z3 = lambda: np.zeros((N, 3), npdt)
 
+    types_h = np.asarray(types, dtype=np.int32)
     pos = f3(pos)
     vel = f3(vel) if vel is not None else z3()
-    types = jnp.asarray(np.asarray(types, dtype=np.int32))
-    parents = (jnp.asarray(np.asarray(parents, np.int32)) if parents is not None
-               else jnp.full((N,), -1, jnp.int32))
-    nbonds = (jnp.asarray(np.asarray(nbonds, np.int32)) if nbonds is not None
-              else jnp.zeros((N,), jnp.int32))
+    parents = (np.asarray(parents, np.int32) if parents is not None
+               else np.full((N,), -1, np.int32))
+    nbonds = (np.asarray(nbonds, np.int32) if nbonds is not None
+              else np.zeros((N,), np.int32))
 
-    spec_number = jnp.zeros((cfg.n_spec,), jnp.int32).at[types].add(1)
+    spec_number = np.bincount(types_h, minlength=cfg.n_spec) \
+        .astype(np.int32)
 
     mxB = max(cfg.mx_bond, 1)
     b_at1 = np.zeros(mxB, np.int32)
@@ -175,43 +184,51 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
     for k in b_t[:n_bond]:
         bt_count[k] += 1
 
-    i0 = lambda: jnp.zeros((), jnp.int32)
-    f0 = lambda: jnp.zeros((), dt)
+    i0 = lambda: np.zeros((), np.int32)
+    f0 = lambda: np.zeros((), npdt)
     # initial radii: 0.577 + small jitter (cuTemp.cu:41-42), to avoid
     # division by zero in radius-dependent potentials before the first
-    # thermostat pass
-    radii0 = 0.577 + 1e-4 * jax.random.uniform(
-        jax.random.PRNGKey(seed ^ 0x5eed), (N,), dt)
+    # thermostat pass (host RNG: device-side sampling would compile)
+    radii0 = (0.577 + 1e-4 * np.random.default_rng(seed ^ 0x5eed)
+              .uniform(size=N)).astype(npdt)
+    # threefry key data built on host: PRNGKey(seed) == [hi32, lo32]
+    rng0 = np.array([seed >> 32, seed & 0xffffffff], np.uint32)
 
-    return MDState(
-        pos=pos, vel=vel, frc=z3(), types=types, parents=parents,
-        nbonds=nbonds, pos0=pos.copy(), engs=jnp.zeros((N,), dt),
+    zi = lambda *s: np.zeros(s, np.int32)
+    zf = lambda *s: np.zeros(s, npdt)
+    host_state = MDState(
+        pos=pos, vel=vel, frc=z3(), types=types_h, parents=parents,
+        nbonds=nbonds, pos0=pos.copy(), engs=zf(N),
         radii=radii0,
         spec_number=spec_number,
         chit=f0(), consint=f0(),
-        energies=Energies.zeros(dt), pressure=f0(),
-        pos_mom=jnp.zeros((3,), dt), neg_mom=jnp.zeros((3,), dt),
-        mom_buf_pos=jnp.zeros((cfg.n_mom, 3), dt),
-        mom_buf_neg=jnp.zeros((cfg.n_mom, 3), dt),
+        energies=Energies(*[np.zeros((), npdt)
+                            for _ in fields(Energies)]),
+        pressure=f0(),
+        pos_mom=zf(3), neg_mom=zf(3),
+        mom_buf_pos=zf(cfg.n_mom, 3),
+        mom_buf_neg=zf(cfg.n_mom, 3),
         i_mom=i0(),
-        cross_pos=jnp.zeros((cfg.n_spec, 3), jnp.int32),
-        cross_neg=jnp.zeros((cfg.n_spec, 3), jnp.int32),
-        bond_at1=jnp.asarray(b_at1), bond_at2=jnp.asarray(b_at2),
-        bond_type=jnp.asarray(b_t),
-        bond_start=jnp.zeros(mxB, jnp.int32),
-        n_bond=jnp.asarray(n_bond, jnp.int32),
-        bt_count=jnp.asarray(bt_count),
-        bt_lt_sum=jnp.zeros(nbt, dt), bt_lt_count=jnp.zeros(nbt, jnp.int32),
-        bt_r_sum=jnp.zeros(nbt, dt), bt_r_count=jnp.zeros(nbt, jnp.int32),
-        bt_r_mean=jnp.zeros(nbt, dt), bt_lt_mean=jnp.zeros(nbt, dt),
-        ang_central=jnp.asarray(a_c), ang_lig1=jnp.asarray(a_1),
-        ang_lig2=jnp.asarray(a_2), ang_type=jnp.asarray(a_t),
-        n_angle=jnp.asarray(n_angle, jnp.int32),
+        cross_pos=zi(cfg.n_spec, 3),
+        cross_neg=zi(cfg.n_spec, 3),
+        bond_at1=b_at1, bond_at2=b_at2,
+        bond_type=b_t,
+        bond_start=zi(mxB),
+        n_bond=np.asarray(n_bond, np.int32),
+        bt_count=bt_count,
+        bt_lt_sum=zf(nbt), bt_lt_count=zi(nbt),
+        bt_r_sum=zf(nbt), bt_r_count=zi(nbt),
+        bt_r_mean=zf(nbt), bt_lt_mean=zf(nbt),
+        ang_central=a_c, ang_lig1=a_1,
+        ang_lig2=a_2, ang_type=a_t,
+        n_angle=np.asarray(n_angle, np.int32),
         n_jump=i0(), jump_pos=i0(), jump_neg=i0(),
-        nbr_idx=jnp.full((N, max(cfg.n_neigh, 1)), N, jnp.int32),
-        nbr_ref=pos + 1e9,      # force a rebuild on the first step
+        nbr_idx=np.full((N, max(cfg.n_neigh, 1)), N, np.int32),
+        # force a rebuild on the first step
+        nbr_ref=pos + np.asarray(1e9, npdt),
         nbr_over=i0(), nbr_viol=i0(),
-        touched=jnp.zeros((N,), bool),
-        rng=jax.random.PRNGKey(seed),
+        touched=np.zeros((N,), bool),
+        rng=rng0,
         step=i0(), cell_overflow=i0(),
     )
+    return jax.device_put(host_state)

@@ -75,8 +75,10 @@ def make_rdf_config(ctl, cfg, max_cells: int = 1 << 20) -> RdfConfig | None:
 
 
 def zero_hist(rcfg: RdfConfig, dtype=jnp.float32):
-    h = jnp.zeros((rcfg.n_bin, rcfg.n_pair), dtype)
-    nh = jnp.zeros((rcfg.n_bin, rcfg.n_npair), dtype)
+    # host zeros transferred, not jnp.zeros: eager device fills compile
+    # tiny XLA programs (slow over the axon remote-compile tunnel)
+    h = jnp.asarray(np.zeros((rcfg.n_bin, rcfg.n_pair), dtype))
+    nh = jnp.asarray(np.zeros((rcfg.n_bin, rcfg.n_npair), dtype))
     return (h, nh) if rcfg.nuclei else (h, None)
 
 

@@ -161,8 +161,8 @@ class MDRunner:
                 statring.make_layout(cfg.n_spec, max(cfg.n_bond_types, 1))
             if self.rcfg is None:
                 # dummy histograms keep the ring signature uniform
-                self.hist = jnp.zeros((1,), jnp.float32)
-                self.nhist = jnp.zeros((1,), jnp.float32)
+                self.hist = jnp.asarray(np.zeros((1,), np.float32))
+                self.nhist = jnp.asarray(np.zeros((1,), np.float32))
 
         self._build_programs()
 

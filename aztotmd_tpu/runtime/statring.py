@@ -52,7 +52,7 @@ def make_stat_row(cfg, spec_counts0):
     """
     counts = jnp.asarray(np.maximum(np.asarray(spec_counts0), 1),
                          jnp.float32)
-    sp_ids = jnp.arange(cfg.n_spec, dtype=jnp.int32)
+    sp_ids = jnp.asarray(np.arange(cfg.n_spec, dtype=np.int32))
 
     def stat_row(state):
         E = state.energies
