@@ -55,6 +55,16 @@ class MDRunner:
 
         cfg, ctl, fld = self.cfg, self.ctl, self.fld
 
+        # host-side copies for writer init: pulling state leaves back
+        # from the device here costs a tunnel round trip each (and d2h
+        # readback can stall for minutes when the tunnel is congested);
+        # everything needed at init is still on the host in sysd
+        types_h = np.array([fld.spec_id(nm) for nm in self.atoms.names],
+                           dtype=np.int32)
+        pos_h = np.asarray(self.atoms.pos, np.float64)
+        vel_h = np.asarray(sysd.get("vel0")) if sysd.get("vel0") is not None \
+            else np.zeros_like(pos_h)
+
         # --- sampling periods (0 = off) ---
         self.p_stat = ctl.stat
         self.p_rdf = ctl.fr_rdf
@@ -89,7 +99,7 @@ class MDRunner:
         self.w_jmp = (W.JumpWriter(j("jumps.dat"), append=append)
                       if cfg.ejtype else None)
         self.w_traj = (W.TrajWriter(j("traj.dat"), fld,
-                                    np.asarray(self.state.types))
+                                    types_h)
                        if self.p_traj else None)
 
         # bind-trajectory: all atoms of the named nucleus (sys_init.cpp:
@@ -101,7 +111,7 @@ class MDRunner:
             k = nid.get(ctl.bindtraj_nucl)
             if k is not None:
                 nucl_of = np.array([fld.species[t].nuclei
-                                    for t in np.asarray(self.state.types)])
+                                    for t in types_h])
                 self.bindtraj_idx = np.flatnonzero(nucl_of == k)
                 if len(self.bindtraj_idx):
                     self.p_bindtraj = ctl.bindtraj_freq
@@ -114,12 +124,10 @@ class MDRunner:
         self.w_hist = W.HistWriter(j("hist.dat")) if ctl.hist else None
         self.p_vaf = ctl.vaf
         self.w_vaf = (W.VafWriter(j("vaf.dat"), fld,
-                                  np.asarray(self.state.vel),
-                                  np.asarray(self.state.types), cfg.n_spec)
+                                  vel_h, types_h, cfg.n_spec)
                       if ctl.vaf else None)
         self.w_msdd = W.MsdDisplWriter(j("msd_d.dat"), fld,
-                                       np.asarray(self.state.pos0),
-                                       np.asarray(self.state.types),
+                                       pos_h, types_h,
                                        cfg.box, cfg.n_spec)
 
         # --- RDF ---
@@ -131,7 +139,7 @@ class MDRunner:
             spec_nuclei = np.array([s.nuclei for s in fld.species],
                                    np.int32)
             nucl_number = np.zeros(max(cfg.n_nucl, 1), np.int64)
-            for t in np.asarray(self.state.types):
+            for t in types_h:
                 nucl_number[spec_nuclei[t]] += 1
             self._spec_nuclei = jnp.asarray(spec_nuclei)
             self._nucl_number = jnp.asarray(nucl_number.astype(np.int32))
@@ -156,7 +164,7 @@ class MDRunner:
             target = int(os.environ.get("AZTOTMD_RING_STEPS", "8000"))
             self.s_cap = max(1, min(512, target // self.p_stat or 1))
             self._spec_counts0 = np.bincount(
-                np.asarray(self.state.types), minlength=cfg.n_spec)
+                types_h, minlength=cfg.n_spec)
             (self._fsl, self._nf, self._isl, self._ni) = \
                 statring.make_layout(cfg.n_spec, max(cfg.n_bond_types, 1))
             if self.rcfg is None:

@@ -39,8 +39,14 @@ def _gauss_velocities(masses, te_kin, deg_free, rng):
 
 def build_system(ctl: ControlSpec, fld, atoms, bonds=None, angles=None,
                  dtype: str = "f32", seed: int = 12345,
-                 target_occupancy: float = 4.0, max_cells: int = 1 << 21):
-    """Returns (cfg, ff, state, aux)."""
+                 target_occupancy: float = 4.0, max_cells: int = 1 << 21,
+                 extras: dict | None = None):
+    """Returns (cfg, ff, state, aux).
+
+    ``extras``: optional dict that receives host-side init byproducts
+    (currently ``vel0``, the NumPy initial velocities) so callers can
+    avoid reading them back from the device.
+    """
     n_at = atoms.n_atoms
     types = np.array([fld.spec_id(nm) for nm in atoms.names], dtype=np.int32)
     if (types < 0).any() or any(t is None for t in types):
@@ -82,6 +88,8 @@ def build_system(ctl: ControlSpec, fld, atoms, bonds=None, angles=None,
         parents=bonds.parents if bonds is not None else None,
         nbonds=bonds.nbonds if bonds is not None else None,
         bonds=bonds, angles=angles, seed=seed)
+    if extras is not None:
+        extras["vel0"] = vel
 
     aux = StepAux()
     if cfg.tstat_type == TSTAT_RADI:
@@ -115,7 +123,10 @@ def load_deck_dir(path, dtype: str = "f32", seed: int = 12345, **kw):
         angles = parse_anglelist_file(apath, types, fld.angles)
 
     dev = parse_device_cfg_dir(path)
+    extras: dict = {}
     cfg, ff, state, aux = build_system(ctl, fld, atoms, bonds, angles,
-                                       dtype=dtype, seed=seed, **kw)
+                                       dtype=dtype, seed=seed,
+                                       extras=extras, **kw)
     return dict(cfg=cfg, ff=ff, state=state, aux=aux, ctl=ctl, fld=fld,
-                atoms=atoms, dev=dev, bonds=bonds, angles=angles)
+                atoms=atoms, dev=dev, bonds=bonds, angles=angles,
+                vel0=extras.get("vel0"))
