@@ -24,6 +24,12 @@ def _enable_compile_cache():
     import os
     if os.environ.get("AZTOTMD_NO_COMPILE_CACHE"):
         return
+    # TPU-backed processes only: CPU executables served from the cache
+    # may have been compiled by the remote compile service on a machine
+    # with different CPU features (SIGILL risk, and it broke a CPU test
+    # with an AOT feature-mismatch); CPU compiles are fast anyway.
+    if os.environ.get("JAX_PLATFORMS", "").lower() in ("cpu", ""):
+        return
     path = os.environ.get(
         "AZTOTMD_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "aztotmd_tpu",

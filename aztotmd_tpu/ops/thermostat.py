@@ -90,7 +90,7 @@ def _angled_vector(v, cos_phi, theta):
             + sin_phi[..., None] * (ct[..., None] * v2 + st[..., None] * v3))
 
 
-def tstat_radiative(cfg, ff, state, photons):
+def tstat_radiative(cfg, ff, state, photons, gid=None, valid=None):
     """Radiative thermostat step (tstat_radi9, cuTemp.cu:689-773).
 
     Every atom absorbs one photon from the precomputed energy table
@@ -98,31 +98,44 @@ def tstat_radiative(cfg, ff, state, photons):
     90% of it in a velocity-biased direction; the thermal radius
     r = A/(B - E) feeding the Surkov potential is refreshed.
 
+    ``gid``: global atom ids (defaults to arange(n)); the noise is a pure
+    function of (seed, step, gid) — see ops/prng.py — so the sharded slab
+    step reproduces the single-device trajectory atom for atom.
+    ``valid``: slot mask for slab mode (empty slots contribute nothing).
+
     Returns (vel, engs, radii, eng_temp, rng).
     """
-    N = cfg.n_at
+    from . import prng
     dt = state.pos.dtype
     types = state.types
+    n = types.shape[0]
     mass = ff.spec_mass[types]
     vel = state.vel
     engs = state.engs
 
-    key, kr = jax.random.split(state.rng)
-    # one fused RNG draw, half the threefry work: the four per-atom
-    # uniforms (two for the absorb direction, cosine + azimuth for the
-    # emit) only need ~16-bit resolution (the reference used xorshift128
-    # floats), so split two 32-bit draws into four 16-bit uniforms
-    bits = jax.random.bits(kr, (N, 2), jnp.uint32)
-    lo = (bits & jnp.uint32(0xffff)).astype(dt)
-    hi = (bits >> jnp.uint32(16)).astype(dt)
-    u = jnp.concatenate([lo, hi], axis=1) * dt.type(1.0 / 65536.0)
+    if gid is None:
+        gid = jnp.arange(n, dtype=jnp.int32)
+    # counter RNG: four 16-bit uniforms per atom (two for the absorb
+    # direction, cosine + azimuth for the emit), keyed by the run seed
+    # (rng word 1), the step counter, and the global atom id — the
+    # per-thread xorshift streams of the reference, made deterministic.
+    # The returned key is freshly advanced (never the input buffer:
+    # donation forbids output leaves aliasing input leaves) but the
+    # draw itself depends only on (seed, step, gid), so every device
+    # of a slab decomposition reproduces the same per-atom kicks.
+    u = prng.uniform4_16(state.rng.reshape(-1)[-1], state.step, gid, dt)
+    key = state.rng + jnp.uint32(0x9E3779B9) * jnp.asarray(
+        [1, 0], state.rng.dtype)
 
     # rotating photon index (the reference walks the table by per-block
     # atomicAdd of curEng; a stride by a large odd constant per step gives
     # the same decorrelation without the race)
-    ei = (jnp.arange(N, dtype=jnp.uint32) + state.step.astype(jnp.uint32)
+    N = cfg.n_at
+    ei = (gid.astype(jnp.uint32) + state.step.astype(jnp.uint32)
           * jnp.uint32(2654435761)) % jnp.uint32(N)
     pe = photons[ei.astype(jnp.int32)]
+    if valid is not None:
+        pe = jnp.where(valid, pe, 0.0)
 
     # --- absorb (adsorb_rand_photon, cuTemp.cu:484-507) ---
     v02 = jnp.sum(vel * vel, axis=-1)
@@ -155,6 +168,9 @@ def tstat_radiative(cfg, ff, state, photons):
     rest = jnp.minimum(engs, ff.spec_mx_eng[types])
     radii = ff.spec_rad_a[types] / (ff.spec_rad_b[types] - rest)
 
+    if valid is not None:
+        engs = jnp.where(valid, engs, 0.0)
+        radii = jnp.where(valid, radii, 1.0)
     eng_temp = jnp.sum(engs)
     return vel, engs, radii, eng_temp, key
 
