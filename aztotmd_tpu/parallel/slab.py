@@ -1,0 +1,607 @@
+"""Slab-decomposed FULL MD step with atom migration over a device mesh.
+
+This is the scale-out execution mode the reference has no equivalent of
+(it is single-GPU; SURVEY.md §2.3): the box is split into x-slabs, each
+device OWNS the atoms inside its slab in a fixed-capacity slot array,
+and one `shard_map`-ped step runs the whole schedule of
+main.cu:281-410 locally:
+
+  verlet-1 (drift + wrap)  →  migrate crossers to the slab neighbors
+  (`lax.ppermute`, fixed-size buffers)  →  bin + halo-exchange boundary
+  cell planes  →  stencil pair pass on the extended slab  →  verlet-2
+  →  thermostat  →  global scalars via `psum`.
+
+Unlike `parallel/mesh.py` (atom-sharded, cell table replicated via
+all-gather) nothing global is materialised per step: each device touches
+only its ~N/D atoms plus two boundary planes, so both compute and
+memory scale with the mesh.  The radiative thermostat stays trajectory-
+identical to the single-device engine because its noise is keyed by
+(seed, step, global atom id) (ops/prng.py), not by array position.
+
+Scope: the non-reactive subset (pair potentials incl. Surkov radii,
+direct/Fennel electrostatics, all thermostats) — which covers both
+reference case studies.  Reactive topology (bonds/angles/ejump) runs
+single-chip or atom-sharded (parallel/mesh.py).
+
+Empty-slot invariant: gid == -1 marks a free slot; its pos/vel/frc/
+engs are all-zero and every stage preserves that.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.config import _round_up
+from ..core.state import Energies
+from ..io.control import ELEC_NONE, TSTAT_NOSE, TSTAT_RADI
+from ..ops import integrate as integ
+from ..ops import thermostat as tstat
+from ..ops.pairs import MX_FRC
+from ..ops.vdw import vdw_eval
+from ..ops.elec import coul_eval
+
+AXIS = "x"
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SlabState:
+    """Per-device slot arrays + replicated scalars (leading dim of the
+    per-slot arrays is D*C globally, sharded over the mesh axis)."""
+    gid: jax.Array        # (C,) int32 global atom id, -1 = empty slot
+    types: jax.Array      # (C,) int32
+    pos: jax.Array        # (C, 3)
+    vel: jax.Array        # (C, 3)
+    frc: jax.Array        # (C, 3)
+    engs: jax.Array       # (C,) thermal internal energy
+    radii: jax.Array      # (C,) thermal radius
+
+    # --- replicated scalars ---
+    rng: jax.Array        # (2,) uint32
+    step: jax.Array       # () int32
+    energies: Energies
+    pressure: jax.Array
+    chit: jax.Array
+    consint: jax.Array
+    pos_mom: jax.Array    # (3,)
+    neg_mom: jax.Array
+    mom_buf_pos: jax.Array
+    mom_buf_neg: jax.Array
+    i_mom: jax.Array
+    cross_pos: jax.Array  # (nsp, 3) int32
+    cross_neg: jax.Array
+    mig_total: jax.Array  # () int32 — atoms migrated so far (diagnostic)
+    mig_lost: jax.Array   # () int32 — dropped by buffer/capacity overflow
+
+    def replace(self, **kw) -> "SlabState":
+        return dataclasses.replace(self, **kw)
+
+
+PER_SLOT = ("gid", "types", "pos", "vel", "frc", "engs", "radii")
+# per-atom payload that travels with a migrating atom
+_MIG_F = ("pos", "vel", "frc")          # (C,3) float fields
+_MIG_F1 = ("engs", "radii")             # (C,) float fields
+_MIG_I = ("gid", "types")               # (C,) int fields
+
+
+def slab_caps(cfg, n_dev: int, cap_factor: float = 1.6):
+    """(slot capacity C per device, migration buffer M per direction)."""
+    C = _round_up(int(cfg.n_at / n_dev * cap_factor) + 8, 8)
+    M = _round_up(max(8, C // 8), 8)
+    return C, M
+
+
+def check_slab_cfg(cfg, n_dev: int):
+    grid = cfg.grid
+    if grid.dims[0] % n_dev:
+        raise ValueError(f"ncx={grid.dims[0]} not divisible by {n_dev}")
+    if min(grid.dims) < 3 or any(abs(o) > 1 for off in grid.stencil
+                                 for o in off):
+        raise ValueError("slab decomposition needs a 27-point stencil "
+                         "(cell edge >= cutoff, >= 3 cells per axis)")
+    if cfg.use_bnd or cfg.use_angl or cfg.ejtype:
+        raise ValueError("slab mode covers the non-reactive subset; "
+                         "bonded/reactive decks run single-chip or "
+                         "atom-sharded (parallel/mesh.py)")
+
+
+def state_specs(mesh: Mesh):
+    """PartitionSpec pytree for SlabState: slot arrays split over the
+    slab axis, scalars replicated."""
+    def spec(field):
+        if field.name in PER_SLOT:
+            return P(AXIS)
+        return P()
+    specs = {f.name: spec(f) for f in dataclasses.fields(SlabState)}
+    specs["energies"] = Energies(*[P()] * len(
+        dataclasses.fields(Energies)))
+    return SlabState(**specs)
+
+
+def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
+    """Distribute a single-device MDState onto the mesh by x-slab.
+
+    Returns the sharded SlabState.  Host-side: O(N) numpy.
+    """
+    n_dev = mesh.devices.size
+    check_slab_cfg(cfg, n_dev)
+    C, _ = slab_caps(cfg, n_dev, cap_factor)
+    N = cfg.n_at
+    ncx = cfg.grid.dims[0]
+    nloc = ncx // n_dev
+
+    pos = np.asarray(state.pos)
+    dt = pos.dtype
+    cx = np.clip((pos[:, 0] / cfg.box[0] * ncx).astype(np.int64),
+                 0, ncx - 1)
+    dev_of = cx // nloc
+
+    def alloc(shape, dtype, fill=0):
+        return np.full((n_dev * C,) + shape, fill, dtype)
+
+    out = {
+        "gid": alloc((), np.int32, -1),
+        "types": alloc((), np.int32),
+        "pos": alloc((3,), dt), "vel": alloc((3,), dt),
+        "frc": alloc((3,), dt),
+        "engs": alloc((), dt), "radii": alloc((), dt),
+    }
+    src = {"pos": pos, "vel": np.asarray(state.vel),
+           "frc": np.asarray(state.frc),
+           "engs": np.asarray(state.engs),
+           "radii": np.asarray(state.radii),
+           "types": np.asarray(state.types),
+           "gid": np.arange(N, dtype=np.int32)}
+    for d in range(n_dev):
+        idx = np.flatnonzero(dev_of == d)
+        if len(idx) > C:
+            raise ValueError(f"slab {d} holds {len(idx)} atoms > "
+                             f"capacity {C}; raise cap_factor")
+        for k, v in out.items():
+            v[d * C: d * C + len(idx)] = src[k][idx]
+
+    repl = NamedSharding(mesh, P())
+    sstate = SlabState(
+        rng=np.asarray(state.rng), step=np.asarray(state.step),
+        energies=jax.tree_util.tree_map(np.asarray, state.energies),
+        pressure=np.asarray(state.pressure),
+        chit=np.asarray(state.chit), consint=np.asarray(state.consint),
+        pos_mom=np.asarray(state.pos_mom),
+        neg_mom=np.asarray(state.neg_mom),
+        mom_buf_pos=np.asarray(state.mom_buf_pos),
+        mom_buf_neg=np.asarray(state.mom_buf_neg),
+        i_mom=np.asarray(state.i_mom),
+        cross_pos=np.asarray(state.cross_pos),
+        cross_neg=np.asarray(state.cross_neg),
+        mig_total=np.zeros((), np.int32),
+        mig_lost=np.zeros((), np.int32),
+        **out)
+
+    def put(path, leaf):
+        name = path[0].name if path else ""
+        if name in PER_SLOT:
+            sh = NamedSharding(mesh, P(AXIS, *([None] * (leaf.ndim - 1))))
+        else:
+            sh = repl
+        return jax.device_put(leaf, sh)
+
+    return jax.tree_util.tree_map_with_path(put, sstate)
+
+
+def gather_state(sstate: SlabState, n_at: int):
+    """Host-side: reassemble per-atom arrays in global-id order.
+    Returns dict of numpy arrays (pos, vel, engs, radii, types)."""
+    gid = np.asarray(sstate.gid)
+    live = gid >= 0
+    order = gid[live]
+    out = {}
+    for name in ("pos", "vel", "engs", "radii", "types"):
+        a = np.asarray(getattr(sstate, name))[live]
+        full = np.zeros((n_at,) + a.shape[1:], a.dtype)
+        full[order] = a
+        out[name] = full
+    return out
+
+
+# ----------------------------------------------------------------------
+def _migrate(cfg, n_dev, nloc, M, st_dict, valid):
+    """Send atoms that crossed a slab boundary to the neighbor device.
+
+    One hop per step (an atom cannot cross a whole slab in one dt at
+    sane timesteps; farther movers are counted in mig_lost and kept).
+    Returns (new st_dict, valid, n_migrated, n_lost).
+    """
+    pos = st_dict["pos"]
+    dt = pos.dtype
+    C = pos.shape[0]
+    dev = jax.lax.axis_index(AXIS)
+    ncx = nloc * n_dev
+    cx = jnp.clip((pos[:, 0] / cfg.box[0] * ncx).astype(jnp.int32),
+                  0, ncx - 1)
+    slab = cx // nloc
+    delta = (slab - dev) % n_dev                 # 0 stay, 1 right, D-1 left
+    go_r = valid & (delta == 1)
+    go_l = valid & (delta == n_dev - 1)
+    stray = valid & (delta != 0) & ~go_r & ~go_l
+    n_lost_stray = jnp.sum(stray.astype(jnp.int32))
+
+    def pack(go):
+        """Compact sender rows into fixed (M, ...) buffers."""
+        n_go = jnp.sum(go.astype(jnp.int32))
+        order = jnp.argsort(~go)                 # senders first (stable)
+        rows = order[:M]
+        sent_ok = jnp.arange(M) < jnp.minimum(n_go, M)
+        buf = {}
+        for k in _MIG_I:
+            fill = jnp.asarray(-1 if k == "gid" else 0, jnp.int32)
+            buf[k] = jnp.where(sent_ok, st_dict[k][rows], fill)
+        for k in _MIG_F1:
+            buf[k] = jnp.where(sent_ok, st_dict[k][rows], 0)
+        for k in _MIG_F:
+            buf[k] = jnp.where(sent_ok[:, None], st_dict[k][rows], 0)
+        # senders beyond the buffer stay put this step (counted lost)
+        overflow = jnp.maximum(n_go - M, 0)
+        cleared = go & (jnp.zeros((C,), bool).at[rows].set(
+            sent_ok, mode="drop"))
+        return buf, cleared, overflow
+
+    buf_r, clr_r, ov_r = pack(go_r)
+    buf_l, clr_l, ov_l = pack(go_l)
+
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    recv_r = jax.tree_util.tree_map(
+        lambda b: jax.lax.ppermute(b, AXIS, right), buf_r)
+    recv_l = jax.tree_util.tree_map(
+        lambda b: jax.lax.ppermute(b, AXIS, left), buf_l)
+    recv = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), recv_r, recv_l)
+
+    # clear sent slots
+    cleared = clr_r | clr_l
+    valid = valid & ~cleared
+    for k in _MIG_I:
+        fill = jnp.asarray(-1 if k == "gid" else 0, jnp.int32)
+        st_dict[k] = jnp.where(cleared, fill, st_dict[k])
+    for k in _MIG_F1:
+        st_dict[k] = jnp.where(cleared, 0, st_dict[k])
+    for k in _MIG_F:
+        st_dict[k] = jnp.where(cleared[:, None], 0, st_dict[k])
+
+    # insert received atoms into free slots
+    rvalid = recv["gid"] >= 0
+    rorder = jnp.argsort(~rvalid)               # valid receives first
+    rvalid_s = rvalid[rorder]
+    n_recv = jnp.sum(rvalid.astype(jnp.int32))
+    free_first = jnp.argsort(valid)             # free slots first
+    n_free = jnp.sum((~valid).astype(jnp.int32))
+    fit = rvalid_s & (jnp.arange(2 * M) < n_free)
+    dest = free_first[: 2 * M]
+    for k in _MIG_I + _MIG_F1 + _MIG_F:
+        r = recv[k][rorder]
+        old = st_dict[k][dest]
+        m = fit if r.ndim == 1 else fit[:, None]
+        st_dict[k] = st_dict[k].at[dest].set(jnp.where(m, r, old),
+                                             mode="drop")
+    valid = st_dict["gid"] >= 0
+    n_lost = (ov_r + ov_l + n_lost_stray
+              + jnp.maximum(n_recv - n_free, 0))
+    return st_dict, valid, n_recv, n_lost
+
+
+# ----------------------------------------------------------------------
+def _pair_pass(cfg, ff, n_dev, st_dict, valid):
+    """Bin local atoms, halo-exchange boundary planes, run the stencil
+    pair pass.  Returns (frc (C,3), e_vdw, e_coul) — per-device locals;
+    energies need a psum by the caller."""
+    grid = cfg.grid
+    ncx, ncy, ncz = grid.dims
+    cap = grid.cap
+    nloc = ncx // n_dev
+    pos = st_dict["pos"]
+    types = st_dict["types"]
+    C = pos.shape[0]
+    dt = pos.dtype
+    nsp = cfg.n_spec
+    dev = jax.lax.axis_index(AXIS)
+    x0 = dev * nloc
+
+    scale = jnp.asarray([grid.dims[k] / cfg.box[k] for k in range(3)], dt)
+    c = jnp.floor(pos * scale).astype(jnp.int32) \
+        % jnp.asarray(grid.dims, jnp.int32)
+    in_slab = valid & (c[:, 0] >= x0) & (c[:, 0] < x0 + nloc)
+    n_cell_loc = nloc * ncy * ncz
+    cid = ((c[:, 0] - x0) * ncy + c[:, 1]) * ncz + c[:, 2]
+    cid = jnp.where(in_slab, cid, n_cell_loc)
+    order = jnp.argsort(cid)
+    scid = cid[order]
+    first = jnp.searchsorted(scid, scid, side="left")
+    rank = jnp.arange(C, dtype=jnp.int32) - first.astype(jnp.int32)
+    slot = jnp.where((rank < cap) & (scid < n_cell_loc),
+                     rank * n_cell_loc + scid, cap * n_cell_loc)
+
+    def blk(vals, fill=0.0):
+        out = jnp.full((cap * n_cell_loc,), fill, vals.dtype)
+        return out.at[slot].set(vals[order], mode="drop") \
+            .reshape(cap, nloc, ncy, ncz)
+
+    use_radii = bool(cfg.use_radii)
+    bx = blk(pos[:, 0])
+    by = blk(pos[:, 1])
+    bz = blk(pos[:, 2])
+    bv = blk(jnp.where(valid, 1.0, 0.0).astype(dt))
+    bt = blk(types.astype(dt)).astype(jnp.int32)
+    br = blk(st_dict["radii"]) if use_radii else None
+
+    # --- halo exchange of boundary x-planes over ICI ---
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    box_x = jnp.asarray(cfg.box[0], dt)
+
+    def halo(b, is_x=False):
+        from_left = jax.lax.ppermute(b[:, -1:], AXIS, right)
+        from_right = jax.lax.ppermute(b[:, :1], AXIS, left)
+        if is_x:
+            from_left = jnp.where(dev == 0, from_left - box_x, from_left)
+            from_right = jnp.where(dev == n_dev - 1,
+                                   from_right + box_x, from_right)
+        return jnp.concatenate([from_left, b, from_right], axis=1)
+
+    ex = halo(bx, True)
+    ey = halo(by)
+    ez = halo(bz)
+    ev_ = halo(bv)
+    et = halo(bt)
+    er = halo(br) if use_radii else None
+
+    xi = bx.reshape(cap, -1)
+    yi = by.reshape(cap, -1)
+    zi = bz.reshape(cap, -1)
+    vi = bv.reshape(cap, -1)
+    ti = bt.reshape(cap, -1)
+    ri = br.reshape(cap, -1) if use_radii else None
+
+    fx = jnp.zeros_like(xi)
+    fy = jnp.zeros_like(xi)
+    fz = jnp.zeros_like(xi)
+    e_vdw = jnp.zeros((), dt)
+    e_coul = jnp.zeros((), dt)
+    box = jnp.asarray(cfg.box, dt)
+
+    for off in grid.stencil:
+        dx_, dy_, dz_ = off
+
+        def nb(e):
+            a = e[:, 1 + dx_: 1 + dx_ + nloc]
+            if dy_:
+                a = jnp.roll(a, -dy_, axis=2)
+            if dz_:
+                a = jnp.roll(a, -dz_, axis=3)
+            return a.reshape(cap, -1)
+
+        xj, yj, zj = nb(ex), nb(ey), nb(ez)
+        vj, tj = nb(ev_), nb(et)
+
+        ddx = xi[:, None, :] - xj[None, :, :]
+        ddy = yi[:, None, :] - yj[None, :, :]
+        ddz = zi[:, None, :] - zj[None, :, :]
+        ddy = ddy - box[1] * jnp.round(ddy / box[1])
+        ddz = ddz - box[2] * jnp.round(ddz / box[2])
+        r2 = ddx * ddx + ddy * ddy + ddz * ddz
+
+        mask = (vi[:, None, :] * vj[None, :, :]) > 0.0
+        mask = mask & (r2 <= cfg.r2_max)
+        if off == (0, 0, 0):
+            eye = jnp.eye(cap, dtype=bool)
+            mask = mask & ~eye[:, :, None]
+
+        r2s = jnp.where(mask, r2, 1.0)
+        rr = jnp.sqrt(r2s)
+        tpair = ti[:, None, :] * nsp + tj[None, :, :]
+
+        if cfg.elec_type != ELEC_NONE:
+            chp = ff.chprod.reshape(-1)[tpair]
+            fc, ecl = coul_eval(cfg, r2s, rr, chp)
+            fc = jnp.where(mask, fc, 0.0)
+            ecl = jnp.where(mask, ecl, 0.0)
+        else:
+            fc = ecl = jnp.zeros_like(r2s)
+
+        if cfg.vdw_families:
+            kind = ff.vdw_kind.reshape(-1)[tpair]
+            vp = ff.vdw_p.reshape(-1, 5)[tpair]
+            r2cut = ff.vdw_r2cut.reshape(-1)[tpair]
+            vmask = mask & (r2 <= r2cut)
+            kind = jnp.where(vmask, kind, 0)
+            if use_radii:
+                rj = nb(er)
+                ra = jnp.broadcast_to(ri[:, None, :], r2s.shape)
+                rb = jnp.broadcast_to(rj[None, :, :], r2s.shape)
+                fv, evd = vdw_eval(kind, vp, r2s, rr, rad_i=ra, rad_j=rb,
+                                   families=cfg.vdw_families)
+            else:
+                fv, evd = vdw_eval(kind, vp, r2s, rr,
+                                   families=cfg.vdw_families)
+            fv = jnp.where(vmask, fv, 0.0)
+            evd = jnp.where(vmask, evd, 0.0)
+        else:
+            fv = evd = jnp.zeros_like(r2s)
+
+        f = jnp.clip(fc + fv, -MX_FRC, MX_FRC)
+        fx = fx + jnp.sum(f * ddx, axis=1)
+        fy = fy + jnp.sum(f * ddy, axis=1)
+        fz = fz + jnp.sum(f * ddz, axis=1)
+        e_vdw = e_vdw + 0.5 * jnp.sum(evd)
+        e_coul = e_coul + 0.5 * jnp.sum(ecl)
+
+    # back to slot order (each device owns its atoms — no psum)
+    soa = jnp.full((C,), cap * n_cell_loc, jnp.int32)
+    soa = soa.at[order].set(slot)
+
+    def unsort(a):
+        flat = jnp.concatenate([a.reshape(-1), jnp.zeros((1,), a.dtype)])
+        return flat[jnp.minimum(soa, cap * n_cell_loc)]
+
+    frc = jnp.stack([unsort(fx), unsort(fy), unsort(fz)], axis=1)
+    return frc, e_vdw, e_coul
+
+
+# ----------------------------------------------------------------------
+class _AtomView:
+    """Duck-typed mini-state over slot arrays so the single-device
+    integrator/thermostat kernels run unchanged per device."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def replace(self, **kw):
+        d = dict(self.__dict__)
+        d.update(kw)
+        return _AtomView(**d)
+
+
+def make_slab_step(cfg, aux, mesh: Mesh):
+    """Returns a jitted step: SlabState x ForceField -> SlabState."""
+    n_dev = mesh.devices.size
+    check_slab_cfg(cfg, n_dev)
+    nloc = cfg.grid.dims[0] // n_dev
+    _, M = slab_caps(cfg, n_dev)
+    fdt = cfg.jnp_dtype
+    photons = aux.photons if aux is not None else None
+
+    def local_step(st: SlabState, ff):
+        valid = st.gid >= 0
+        st_dict = {k: getattr(st, k) for k in PER_SLOT}
+
+        # --- verlet 1: pass zeroed accumulators to get pure deltas ---
+        nsp = st.cross_pos.shape[0]
+        view = _AtomView(pos=st_dict["pos"], vel=st_dict["vel"],
+                         frc=st_dict["frc"], types=st_dict["types"],
+                         pos_mom=jnp.zeros((3,), fdt),
+                         neg_mom=jnp.zeros((3,), fdt),
+                         cross_pos=jnp.zeros((nsp, 3), jnp.int32),
+                         cross_neg=jnp.zeros((nsp, 3), jnp.int32))
+        upd, eng_field = integ.verlet1(cfg, ff, view)
+        # empty slots must stay all-zero (ext-field force reset writes
+        # a per-charge constant into every row)
+        st_dict["pos"] = jnp.where(valid[:, None], upd["pos"], 0)
+        st_dict["vel"] = jnp.where(valid[:, None], upd["vel"], 0)
+        st_dict["frc"] = jnp.where(valid[:, None], upd["frc"], 0)
+        pos_mom = st.pos_mom + jax.lax.psum(upd["pos_mom"], AXIS)
+        neg_mom = st.neg_mom + jax.lax.psum(upd["neg_mom"], AXIS)
+        cross_pos = st.cross_pos + jax.lax.psum(upd["cross_pos"], AXIS)
+        cross_neg = st.cross_neg + jax.lax.psum(upd["cross_neg"], AXIS)
+        eng_field = jax.lax.psum(eng_field, AXIS)
+
+        # --- migration ---
+        st_dict, valid, n_mig, n_lost = _migrate(cfg, n_dev, nloc, M,
+                                                 st_dict, valid)
+        mig_total = (st.mig_total
+                     + jax.lax.psum(n_mig, AXIS)).astype(jnp.int32)
+        mig_lost = (st.mig_lost
+                    + jax.lax.psum(n_lost, AXIS)).astype(jnp.int32)
+
+        # --- pair pass on the extended slab ---
+        pfrc, e_vdw, e_coul = _pair_pass(cfg, ff, n_dev, st_dict, valid)
+        st_dict["frc"] = st_dict["frc"] + pfrc
+        e_vdw = jax.lax.psum(e_vdw, AXIS)
+        e_coul = jax.lax.psum(e_coul, AXIS)
+
+        # --- verlet 2 (global kinetic energy) ---
+        vel, _ = integ.verlet2(cfg, ff, st_dict["vel"], st_dict["frc"],
+                               st_dict["types"])
+        vel = jnp.where(valid[:, None], vel, 0)
+        mass = ff.spec_mass[st_dict["types"]]
+        ekin_loc = 0.5 * jnp.sum(jnp.where(
+            valid, mass * jnp.sum(vel * vel, axis=-1), 0))
+        eng_kin = jax.lax.psum(ekin_loc, AXIS)
+        st_dict["vel"] = vel
+
+        # --- thermostat ---
+        eng_temp = jnp.zeros((), fdt)
+        chit, consint, rng = st.chit, st.consint, st.rng
+        if cfg.n_equil and cfg.freq_equil:
+            do_scale = (st.step <= cfg.n_equil) & \
+                (st.step % cfg.freq_equil == 0)
+            vel_s, ek_s = tstat.temp_scale(cfg, st_dict["vel"], eng_kin)
+            st_dict["vel"] = jnp.where(do_scale, vel_s, st_dict["vel"])
+            eng_kin = jnp.where(do_scale, ek_s, eng_kin)
+        if cfg.tstat_type == TSTAT_NOSE:
+            v2, eng_kin, chit, consint = tstat.nose_apply(
+                cfg, st_dict["vel"], eng_kin, chit, consint)
+            st_dict["vel"] = jnp.where(valid[:, None], v2, 0)
+        elif cfg.tstat_type == TSTAT_RADI:
+            tview = _AtomView(pos=st_dict["pos"], vel=st_dict["vel"],
+                              engs=st_dict["engs"],
+                              types=st_dict["types"],
+                              rng=rng, step=st.step)
+            v2, engs, radii, et_loc, rng = tstat.tstat_radiative(
+                cfg, ff, tview, photons, gid=st_dict["gid"],
+                valid=valid)
+            st_dict["vel"] = jnp.where(valid[:, None], v2, 0)
+            st_dict["engs"] = engs
+            st_dict["radii"] = jnp.where(valid, radii, 0)
+            eng_temp = jax.lax.psum(et_loc, AXIS)
+
+        # --- energies + pressure (replicated scalars) ---
+        pot = e_coul + e_vdw
+        energies = Energies(
+            kin=eng_kin.astype(fdt), vdw=e_vdw.astype(fdt),
+            coul1=e_coul.astype(fdt),
+            coul2=jnp.zeros((), fdt), coul3=jnp.zeros((), fdt),
+            bond=jnp.zeros((), fdt), angle=jnp.zeros((), fdt),
+            temp=eng_temp.astype(fdt), field=eng_field.astype(fdt),
+            pot=pot.astype(fdt), tot=(pot + eng_kin).astype(fdt))
+
+        pview = _AtomView(pos=st_dict["pos"], i_mom=st.i_mom,
+                          step=st.step, pressure=st.pressure,
+                          pos_mom=pos_mom, neg_mom=neg_mom,
+                          mom_buf_pos=st.mom_buf_pos,
+                          mom_buf_neg=st.mom_buf_neg)
+        pres, buf_p, buf_n, i_mom = integ.pressure_update(cfg, pview)
+
+        return st.replace(
+            energies=energies, pressure=pres,
+            pos_mom=pos_mom, neg_mom=neg_mom,
+            mom_buf_pos=buf_p, mom_buf_neg=buf_n, i_mom=i_mom,
+            cross_pos=cross_pos, cross_neg=cross_neg,
+            mig_total=mig_total, mig_lost=mig_lost,
+            rng=rng, chit=chit, consint=consint,
+            step=st.step + 1, **st_dict)
+
+    specs = state_specs(mesh)
+    ff_specs = None  # replicated
+
+    def step(st, ff):
+        ff_spec = jax.tree_util.tree_map(lambda _: P(), ff)
+        fn = shard_map(local_step, mesh=mesh,
+                       in_specs=(specs, ff_spec), out_specs=specs,
+                       check_vma=False)
+        return fn(st, ff)
+
+    return jax.jit(step)
+
+
+def make_slab_multi_step(cfg, aux, mesh: Mesh):
+    """n-step scanned slab loop (n static)."""
+    n_dev = mesh.devices.size
+    check_slab_cfg(cfg, n_dev)
+    specs = state_specs(mesh)
+    nloc = cfg.grid.dims[0] // n_dev
+    _, M = slab_caps(cfg, n_dev)
+    step1 = make_slab_step(cfg, aux, mesh)
+
+    def multi(st, ff, n: int):
+        def body(s, _):
+            return step1(s, ff), None
+        st, _ = jax.lax.scan(body, st, None, length=n)
+        return st
+
+    return jax.jit(multi, static_argnums=2)

@@ -69,3 +69,87 @@ def test_domain_decomposition_matches_all_pairs():
     np.testing.assert_allclose(np.asarray(frc), np.asarray(pr.frc),
                                rtol=1e-9, atol=1e-11)
     assert float(e_vdw) == pytest.approx(float(pr.eng_vdw), rel=1e-10)
+
+
+def _slab_system(tstat=0, n_atoms=512, steps=None, seed=33, temp=60.0):
+    """LJ argon on a block grid with ncx divisible by 4 (slab mode)."""
+    import dataclasses
+    from aztotmd_tpu.ops.cellblock import make_block_grid
+
+    cfg, ff, state, aux = build_lj_argon(n_atoms=n_atoms, density=0.012,
+                                         dtype="f64", seed=seed,
+                                         temp=temp, tstat=tstat)
+    grid = make_block_grid(cfg.box, cfg.r_max, cfg.n_at)
+    ncx = max((grid.dims[0] // 4) * 4, 4)
+    grid = dataclasses.replace(grid, dims=(ncx,) + grid.dims[1:],
+                               edge=(cfg.box[0] / ncx,) + grid.edge[1:])
+    cfg = dataclasses.replace(cfg, grid=grid, pair_engine="block")
+    # park one lattice plane exactly on a slab boundary so thermal
+    # motion carries atoms across within a short run (migration test)
+    pos = np.asarray(state.pos)
+    xs = np.unique(np.round(pos[:, 0], 6))
+    bound = cfg.box[0] / 4
+    shift = bound - xs[len(xs) // 2]
+    pos = (pos + np.array([shift, 0.0, 0.0])) % np.asarray(cfg.box)
+    state = state.replace(pos=jax.numpy.asarray(pos),
+                          pos0=jax.numpy.asarray(pos.copy()),
+                          nbr_ref=jax.numpy.asarray(pos + 1e9))
+    return cfg, ff, state, aux
+
+
+def test_slab_step_matches_single_device_nve():
+    """The slab-decomposed full step (4 devices, migration on) must track
+    the single-device trajectory."""
+    from aztotmd_tpu.parallel import slab
+    from aztotmd_tpu.runtime.step import make_multi_step
+
+    cfg, ff, state, aux = _slab_system()
+    mesh = make_mesh(4, axis="x")
+
+    multi = make_multi_step(cfg, aux)
+    ref = multi(state, ff, 100)
+
+    sstate = slab.make_slab_state(cfg, state, mesh)
+    smulti = slab.make_slab_multi_step(cfg, aux, mesh)
+    out = smulti(sstate, ff, 100)
+
+    g = slab.gather_state(out, cfg.n_at)
+    assert int(out.step) == 100
+    assert int(out.mig_lost) == 0
+    # atoms must actually have migrated between slabs
+    assert int(out.mig_total) > 0
+    np.testing.assert_allclose(g["pos"], np.asarray(ref.pos),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(g["vel"], np.asarray(ref.vel),
+                               rtol=0, atol=1e-7)
+    assert float(out.energies.tot) == pytest.approx(
+        float(ref.energies.tot), rel=1e-8)
+    assert float(out.energies.kin) == pytest.approx(
+        float(ref.energies.kin), rel=1e-8)
+
+
+def test_slab_step_radiative_thermostat_matches():
+    """gid-keyed thermostat noise makes the slab trajectory identical
+    to single-device even with the radiative thermostat active."""
+    from aztotmd_tpu.io.control import TSTAT_RADI
+    from aztotmd_tpu.parallel import slab
+    from aztotmd_tpu.runtime.step import make_multi_step
+
+    cfg, ff, state, aux = _slab_system(tstat=TSTAT_RADI, temp=120.0)
+    mesh = make_mesh(8, axis="x")
+
+    multi = make_multi_step(cfg, aux)
+    ref = multi(state, ff, 60)
+
+    sstate = slab.make_slab_state(cfg, state, mesh)
+    smulti = slab.make_slab_multi_step(cfg, aux, mesh)
+    out = smulti(sstate, ff, 60)
+
+    g = slab.gather_state(out, cfg.n_at)
+    assert int(out.mig_lost) == 0
+    np.testing.assert_allclose(g["pos"], np.asarray(ref.pos),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(g["engs"], np.asarray(ref.engs),
+                               rtol=0, atol=1e-9)
+    assert float(out.energies.temp) == pytest.approx(
+        float(ref.energies.temp), rel=1e-8)
