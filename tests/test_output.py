@@ -96,3 +96,34 @@ def test_runner_end_to_end_case2(tmp_path, case2_dir):
     assert atoms.n_atoms == 4000
 
 
+
+
+def test_ring_mode_matches_legacy_sampling(tmp_path):
+    """The on-device stat ring must produce identical output files to
+    the legacy per-sample host-pull path (same deck, same steps)."""
+    from aztotmd_tpu.runtime.runner import run_deck
+    deck = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "bonded_fluid")
+    out_a = str(tmp_path / "ring")
+    out_b = str(tmp_path / "legacy")
+    run_deck(deck, out_dir=out_a, n_steps=300, quiet=True)
+    os.environ["AZTOTMD_NO_RING"] = "1"
+    try:
+        run_deck(deck, out_dir=out_b, n_steps=300, quiet=True)
+    finally:
+        del os.environ["AZTOTMD_NO_RING"]
+    for f in ("stat.dat", "msd.dat", "rdf.dat",
+              "revcon.xyz", "stat_bnd.dat", "velocities.dat"):
+        pa, pb = os.path.join(out_a, f), os.path.join(out_b, f)
+        assert os.path.exists(pa) == os.path.exists(pb), f
+        if os.path.exists(pa):
+            assert open(pa).read() == open(pb).read(), f"{f} differs"
+    # msd_d: the ring computes the per-species MSD reduction on device
+    # in f32; the legacy path reduces on host in f64 — equal to ~1e-6
+    la = open(os.path.join(out_a, "msd_d.dat")).read().splitlines()
+    lb = open(os.path.join(out_b, "msd_d.dat")).read().splitlines()
+    assert la[0] == lb[0] and len(la) == len(lb)
+    for ra, rb in zip(la[2:], lb[2:]):
+        va = np.asarray([float(x) for x in ra.split()])
+        vb = np.asarray([float(x) for x in rb.split()])
+        np.testing.assert_allclose(va, vb, rtol=2e-5, atol=1e-6)
