@@ -14,9 +14,24 @@ import pytest
 from aztotmd_tpu.runtime.setup import load_deck_dir
 from aztotmd_tpu.runtime.step import make_multi_step
 
-# banded expectations (f32, seed 12345) — f64 physics is covered
-# by the oracle tests; f32 keeps the CPU compile time manageable
-GOLDEN = {}
+# PINNED f32 energies (seed 12345, XLA CPU backend, 8 virtual devices)
+# — regression goldens per VERDICT r1 #8.  The f64 physics itself is
+# covered by the oracle tests; these catch silent drift of the shipped
+# f32 path at 1e-6 instead of band width.  Multi-device equivalence is
+# pinned transitively: tests/test_parallel.py asserts the 8-device
+# sharded and slab steps match single-device to 1e-7.
+# If a DELIBERATE physics change shifts them, re-pin after the oracle
+# tests pass.
+GOLDEN = {
+    "case1": {"tot": 0.00012391578638926148,
+              "kin": 0.00012391578638926148,
+              "vdw": 0.0,
+              "temp": 572.1741943359375},
+    "case2": {"tot": -1336.1949462890625,
+              "kin": 84.91802215576172,
+              "vdw": -1421.1129150390625,
+              "temp": 95.68902587890625},
+}
 
 
 def _run(deck, steps=10, repeat=False):
@@ -38,20 +53,17 @@ def test_case1_short_run_energies_and_determinism(case1_dir):
     e, e2 = _run(case1_dir, repeat=True)
     for k in e:
         assert e[k] == e2[k]
-    # dilute gas started at rest: tiny kinetic energy from photon kicks,
-    # zero VdW, thermostat reservoir filling toward its steady state
-    assert 0.0 < e["kin"] < 5.0
-    assert abs(e["vdw"]) < 1e-3
-    assert 400.0 < e["temp"] < 800.0
+    for k, v in GOLDEN["case1"].items():
+        assert e[k] == pytest.approx(v, rel=2e-6, abs=1e-12), \
+            f"case1 {k}: {e[k]!r} != golden {v!r}"
     assert e["tot"] == pytest.approx(e["kin"] + e["vdw"], abs=1e-9)
 
 
 def test_case2_short_run_energies(case2_dir):
     e = _run(case2_dir, steps=5)
-    # dense Surkov cluster: strongly bound, thermostat filling
-    assert -1500.0 < e["vdw"] < -1200.0
-    assert 0.0 < e["kin"] < 200.0
-    assert 50.0 < e["temp"] < 200.0
+    for k, v in GOLDEN["case2"].items():
+        assert e[k] == pytest.approx(v, rel=2e-6), \
+            f"case2 {k}: {e[k]!r} != golden {v!r}"
     assert np.isfinite(e["tot"])
 
 
