@@ -124,3 +124,99 @@ def test_metropolis_scheme_runs():
     assert bool(jnp.all(jnp.isfinite(state.pos)))
     assert int(jnp.sum(state.types == 0)) + \
         int(jnp.sum(state.types == 1)) == cfg.n_at
+
+
+def _ejump_oracle(pos, types, box, r_elec, d_ejump, e_own, oxf, redf,
+                  donacc, scheme="eq"):
+    """Independent O(N^2) NumPy model of one CUDA-semantics jump pass
+    (cuEjump.cu:39-76 try_to_jump + :78-332 cuda_ejump): each donor
+    targets its NEAREST acceptor within r_elec (pre-pass types), dU is
+    the own-energy difference (no bonds, no field here), and claims
+    resolve first-donor-wins with no retry.  Returns
+    (types, n_jump, jump_pos, jump_neg)."""
+    n = len(types)
+    types = types.copy()
+    la = box[0]
+    # nearest acceptor per donor, min-image
+    d = pos[:, None, :] - pos[None, :, :]
+    d -= np.asarray(box) * np.round(d / np.asarray(box))
+    r2 = np.sum(d * d, axis=-1)
+    np.fill_diagonal(r2, np.inf)
+    is_don = (donacc[types] & 1) != 0
+    is_acc = (donacc[types] & 2) != 0
+    r2a = np.where(is_acc[None, :], r2, np.inf)
+    nearest = np.argmin(r2a, axis=1)
+    ok = is_don & (r2a[np.arange(n), nearest] <= r_elec * r_elec)
+
+    n_jump = jp = jn = 0
+    claimed = np.zeros(n, bool)
+    for i in range(n):
+        if not ok[i] or claimed[i]:
+            continue
+        j = nearest[i]
+        if claimed[j]:
+            continue
+        ti, tj = types[i], types[j]
+        ox, red = oxf[ti] - 1, redf[tj] - 1
+        if ox < 0 or red < 0:
+            continue
+        dU = (e_own[ox] - e_own[ti]) + (e_own[red] - e_own[tj])
+        accept = abs(dU) < d_ejump if scheme == "eq" else dU < 0.0
+        if not accept:
+            continue
+        types[i], types[j] = ox, red
+        claimed[i] = claimed[j] = True
+        n_jump += 1
+        px = np.round((pos[i, 0] - pos[j, 0]) / la)
+        if px > 0 or (px == 0 and pos[j, 0] > pos[i, 0]):
+            jp += 1
+        elif px < 0 or (px == 0 and pos[j, 0] < pos[i, 0]):
+            jn += 1
+    return types, n_jump, jp, jn
+
+
+def test_ejump_matches_numpy_oracle_multielectron():
+    """Multi-electron deck: jump outcomes, jumps.dat counters and the
+    box-crossing split must match the independent NumPy model over
+    several steps (VERDICT r1 #9)."""
+    from aztotmd_tpu.io.control import JUMP_EQ
+    rng = np.random.default_rng(42)
+    n = 24
+    box = (14.0, 14.0, 14.0)
+    pos = rng.uniform(0.2, 13.8, size=(n, 3))
+    names = ["Fe2"] * 12 + ["Fe3"] * 12
+    fld = parse_field(FIELD)
+    ctl = ControlSpec(t_step=1e-7, n_step=6,
+                      tstat=TStatSpec(type=0, temp=300.0),
+                      elec=ElecSpec(type=ELEC_DIRECT, r_real=6.0))
+    ctl.ejump = 1
+    ctl.ejtype = JUMP_EQ
+    ctl.d_ejump = 1.0          # own energies cancel: dU = 0, all accept
+    ctl.r_elec = 3.0
+    atoms = AtomsData(names=names, pos=pos, box=box)
+    cfg, ff, state, aux = build_system(ctl, fld, atoms, dtype="f64",
+                                       seed=9)
+    step = jax.jit(make_step(cfg, aux))
+
+    e_own = np.asarray(ff.spec_energy)
+    oxf = np.array([s.oxForm for s in fld.species])
+    redf = np.array([s.redForm for s in fld.species])
+    donacc = np.array([s.donacc for s in fld.species])
+
+    otypes = np.asarray(state.types)
+    tot = tp = tn = 0
+    for k in range(4):
+        # oracle pass on the CURRENT positions/types (dt is tiny, so
+        # positions are effectively frozen between passes)
+        opos = np.asarray(state.pos)
+        otypes, nj, jp, jn = _ejump_oracle(
+            opos, otypes, box, ctl.r_elec, ctl.d_ejump, e_own,
+            oxf, redf, donacc)
+        tot += nj; tp += jp; tn += jn
+        state = step(state, ff)
+        np.testing.assert_array_equal(np.asarray(state.types), otypes,
+                                      err_msg=f"step {k}")
+        assert int(state.n_jump) == tot
+        assert int(state.jump_pos) == tp
+        assert int(state.jump_neg) == tn
+    assert tot >= 3      # the deck must actually exercise several jumps
