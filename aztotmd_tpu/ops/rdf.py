@@ -48,6 +48,12 @@ class RdfConfig:
     n_nucl: int
     nuclei: bool                # also accumulate the nuclei histogram
     grid: CellGrid
+    # neighbor-list sampling (dilute decks): reuse ops.neighbors to keep
+    # an (N, k_cap) RDF neighbor list with `skin` Angstrom of slack,
+    # rebuilt once per stat period instead of per sample.  0 = off
+    # (sample directly from the candidate matrix).
+    k_cap: int = 0
+    skin: float = 0.0
 
     @property
     def n_pair(self) -> int:
@@ -58,12 +64,37 @@ class RdfConfig:
         return n_pairs(self.n_nucl)
 
 
-def make_rdf_config(ctl, cfg, max_cells: int = 1 << 20) -> RdfConfig | None:
+def make_rdf_config(ctl, cfg, max_cells: int = 1 << 20,
+                    pos=None, m_min: float = 0.0) -> RdfConfig | None:
     if ctl.fr_rdf <= 0 or ctl.r_rdf <= 0.0 or ctl.d_rdf <= 0.0:
         return None
-    grid = make_cell_grid(cfg.box, ctl.r_rdf, cfg.n_at, max_cells=max_cells)
+    grid = make_cell_grid(cfg.box, ctl.r_rdf, cfg.n_at, max_cells=max_cells,
+                          pos=pos)
     # bin count clamped to the box edge (rdf.cpp:41-47 init_rdf)
     min_r = min(ctl.r_rdf, min(cfg.box))
+    k_cap = 0
+    skin = 0.0
+    if pos is not None and ctl.stat > 0 and ctl.fr_rdf < ctl.stat:
+        # list-based sampling pays off when several samples share one
+        # rebuild; the skin must absorb the drift over a stat period
+        # (the same 6x thermal-speed bound as the force Verlet list,
+        # core/config.py) and the list capacity covers the measured
+        # local density at the padded reach with headroom
+        from .. import units
+        from ..core.config import _max_neigh_count, _round_up
+        import math as _math
+        if ctl.tstat.temp > 0 and m_min > 0:
+            v_th = _math.sqrt(3.0 * units.KB * ctl.tstat.temp / m_min)
+            skin = 6.0 * v_th * ctl.t_step * ctl.stat
+        else:
+            skin = 2.0
+        skin = min(max(skin, 1.0), 0.5 * min(cfg.box))
+        mx = _max_neigh_count(pos, cfg.box, ctl.r_rdf + skin)
+        k_cap = _round_up(mx + mx // 2 + 8, 8)
+        M = len(grid.stencil) * grid.cap
+        if k_cap >= M:      # dense deck: the list would not be smaller
+            k_cap = 0
+            skin = 0.0
     return RdfConfig(
         n_bin=int(min_r / ctl.d_rdf),
         d_rdf=ctl.d_rdf,
@@ -71,7 +102,8 @@ def make_rdf_config(ctl, cfg, max_cells: int = 1 << 20) -> RdfConfig | None:
         n_spec=cfg.n_spec,
         n_nucl=cfg.n_nucl,
         nuclei=ctl.nuclei_rdf,
-        grid=grid)
+        grid=grid,
+        k_cap=k_cap, skin=skin)
 
 
 def zero_hist(rcfg: RdfConfig, dtype=jnp.float32):
@@ -119,17 +151,26 @@ def rdf_sample(cfg, rcfg: RdfConfig, pos, types, spec_number,
     table, _ = cl.build_cell_table(gcfg, pos)
     cand = cl.gather_candidates(gcfg, table, coords)       # (N, M)
 
-    types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)], axis=0)
-
-    # SoA distance components: an (N, M, 3) delta would lane-pad 3 -> 128
-    # on TPU (measured 40x memory blowup on large RDF reaches)
+    # TPU random gathers run at ~6-7 ns/element, so they dominate this
+    # whole function (six gather fusions at ~28 ms each profiled on cs1).
+    # The (N, M, 3) AoS gather fetches consecutive triples ~5x faster
+    # than three per-component gathers (same finding as the neighbor-list
+    # rebuild, neighbors.py:44-49); its lane-padded 3->128 result buffer
+    # is the price, so fall back to SoA only when it would not fit.
     box = jnp.asarray(cfg.box, dt)
-    r2 = jnp.zeros(cand.shape, dt)
-    for k in range(3):
-        xk = jnp.concatenate([pos[:, k], jnp.zeros((1,), dt)])
-        d = pos[:, k][:, None] - xk[cand]
-        d = d - box[k] * jnp.round(d / box[k])
-        r2 = r2 + d * d
+    padded_bytes = cand.size * 128 * 4
+    if padded_bytes <= (4 << 30):
+        pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+        d = pos[:, None, :] - pos_p[cand]
+        d = d - box * jnp.round(d / box)
+        r2 = jnp.sum(d * d, axis=-1)
+    else:
+        r2 = jnp.zeros(cand.shape, dt)
+        for k in range(3):
+            xk = jnp.concatenate([pos[:, k], jnp.zeros((1,), dt)])
+            d = pos[:, k][:, None] - xk[cand]
+            d = d - box[k] * jnp.round(d / box[k])
+            r2 = r2 + d * d
 
     own = jnp.arange(N, dtype=jnp.int32)[:, None]
     # each unordered pair once (the reference iterates i<j)
@@ -138,14 +179,25 @@ def rdf_sample(cfg, rcfg: RdfConfig, pos, types, spec_number,
     r = jnp.sqrt(jnp.where(mask, r2, 1.0))
     ib = jnp.minimum((r / rcfg.d_rdf).astype(jnp.int32), rcfg.n_bin - 1)
 
-    ti = types[:, None]
-    tj = types_p[cand]
-    ip = pair_index(rcfg.n_spec, ti, tj)
+    if rcfg.n_spec == 1:
+        ip = 0                     # single species: skip the type gather
+    else:
+        types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)],
+                                  axis=0)
+        ip = pair_index(rcfg.n_spec, types[:, None], types_p[cand])
 
     B = rcfg.n_bin * rcfg.n_pair
     flat = jnp.where(mask, ib * rcfg.n_pair + ip, B)       # drop slot
     counts = _hist_counts(flat, B, dt).reshape(rcfg.n_bin, rcfg.n_pair)
+    return _apply_weights(cfg, rcfg, counts, spec_number, spec_nuclei,
+                          nucl_number, hist, nhist)
 
+
+def _apply_weights(cfg, rcfg: RdfConfig, counts, spec_number, spec_nuclei,
+                   nucl_number, hist, nhist):
+    """Scale per-(bin, species-pair) COUNTS by the 2V/(Ni*Nj) weight
+    table and fold into the species/nuclei histograms."""
+    dt = counts.dtype
     # per-species-pair weight tables over the static upper triangle
     iu, ju = np.triu_indices(rcfg.n_spec)
     vol = jnp.asarray(cfg.volume, dt)
@@ -191,3 +243,54 @@ def normalize_rdf(rcfg: RdfConfig, hist: np.ndarray, count: int,
             c3[k] = 1.0 if a == b else 0.5
             k += 1
     return np.asarray(hist, np.float64) * c1 * c2 * c3[None, :]
+
+
+def rdf_list_cfg(cfg, rcfg: RdfConfig, max_cells: int = 1 << 20):
+    """A SimConfig view that points ops.neighbors.build_neighbors at the
+    RDF reach: list reach = r_rdf + skin, capacity k_cap."""
+    import dataclasses
+    import math as _math
+    r_rdf = _math.sqrt(rcfg.r2_max)
+    grid = make_cell_grid(cfg.box, r_rdf + rcfg.skin, cfg.n_at,
+                          max_cells=max_cells)
+    return dataclasses.replace(cfg, nb_grid=grid, n_neigh=rcfg.k_cap,
+                               nb_skin=rcfg.skin, r_max=r_rdf)
+
+
+def rdf_sample_list(cfg, rcfg: RdfConfig, pos, types, spec_number,
+                    spec_nuclei, nucl_number, nbr, hist, nhist=None):
+    """Accumulate one RDF sample from a prebuilt (N, k_cap) neighbor
+    list (see rdf_list_cfg / ops.neighbors.build_neighbors).
+
+    The list is rebuilt once per stat period and shared by the samples
+    inside it; k_cap is ~7x smaller than the raw candidate matrix on
+    dilute decks, which cuts the gather+distance bandwidth (the
+    dominant cost: ~50 ms/sample direct vs ~2 ms here on case study 1)
+    by the same factor.
+    """
+    N = cfg.n_at
+    dt = pos.dtype
+    cand = nbr                                            # (N, K)
+    box = jnp.asarray(cfg.box, dt)
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    d = pos[:, None, :] - pos_p[cand]
+    d = d - box * jnp.round(d / box)
+    r2 = jnp.sum(d * d, axis=-1)
+
+    own = jnp.arange(N, dtype=jnp.int32)[:, None]
+    mask = (cand != N) & (cand > own) & (r2 < rcfg.r2_max)
+
+    r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+    ib = jnp.minimum((r / rcfg.d_rdf).astype(jnp.int32), rcfg.n_bin - 1)
+    if rcfg.n_spec == 1:
+        ip = 0
+    else:
+        types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)],
+                                  axis=0)
+        ip = pair_index(rcfg.n_spec, types[:, None], types_p[cand])
+
+    B = rcfg.n_bin * rcfg.n_pair
+    flat = jnp.where(mask, ib * rcfg.n_pair + ip, B)
+    counts = _hist_counts(flat, B, dt).reshape(rcfg.n_bin, rcfg.n_pair)
+    return _apply_weights(cfg, rcfg, counts, spec_number, spec_nuclei,
+                          nucl_number, hist, nhist)

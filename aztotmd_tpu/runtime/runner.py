@@ -132,7 +132,10 @@ class MDRunner:
 
         # --- RDF ---
         import jax.numpy as jnp
-        self.rcfg = ops_rdf.make_rdf_config(ctl, cfg)
+        m_min = min([sp.mass for sp in fld.species if sp.mass > 0],
+                    default=0.0)
+        self.rcfg = ops_rdf.make_rdf_config(ctl, cfg, pos=pos_h,
+                                            m_min=m_min)
         self.rdf_count = 0
         if self.rcfg is not None:
             self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
@@ -228,15 +231,32 @@ class MDRunner:
             stat_row = statring.make_stat_row(cfg, self._spec_counts0)
             p_stat, p_rdf = self.p_stat, self.p_rdf
             fuse_rdf = rcfg is not None and bool(p_rdf)
+            use_list = bool(fuse_rdf and rcfg.k_cap > 0)
+            if use_list:
+                # amortize the candidate pass: one (N, k_cap) RDF
+                # neighbor list per stat period, skin-padded to absorb
+                # the drift, shared by all samples inside the period
+                from ..ops.neighbors import build_neighbors
+                lcfg = ops_rdf.rdf_list_cfg(cfg, rcfg)
 
             def stat_block(s, h, nh, ff):
                 if fuse_rdf:
+                    if use_list:
+                        nbr, _, _ = build_neighbors(lcfg, s.pos)
+
                     def body(c, _):
                         s, h, nh = c
                         s = base(s, ff, p_rdf)
-                        h, nh = ops_rdf.rdf_sample(
-                            cfg, rcfg, s.pos, s.types, s.spec_number,
-                            self._spec_nuclei, self._nucl_number, h, nh)
+                        if use_list:
+                            h, nh = ops_rdf.rdf_sample_list(
+                                cfg, rcfg, s.pos, s.types, s.spec_number,
+                                self._spec_nuclei, self._nucl_number,
+                                nbr, h, nh)
+                        else:
+                            h, nh = ops_rdf.rdf_sample(
+                                cfg, rcfg, s.pos, s.types, s.spec_number,
+                                self._spec_nuclei, self._nucl_number,
+                                h, nh)
                         return (s, h, nh), None
                     (s, h, nh), _ = jax.lax.scan(
                         body, (s, h, nh), None, length=p_stat // p_rdf)

@@ -127,3 +127,39 @@ def test_ring_mode_matches_legacy_sampling(tmp_path):
         va = np.asarray([float(x) for x in ra.split()])
         vb = np.asarray([float(x) for x in rb.split()])
         np.testing.assert_allclose(va, vb, rtol=2e-5, atol=1e-6)
+
+
+def test_ring_list_rdf_matches_legacy(tmp_path):
+    """When fr_rdf < stat the ring samples RDF from the skin-padded
+    neighbor list (rdf_sample_list); the histogram must match the
+    direct candidate-matrix sampling of the legacy path exactly."""
+    import shutil
+    from aztotmd_tpu.runtime.runner import run_deck
+    src = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "bonded_fluid")
+    deck = str(tmp_path / "deck")
+    shutil.copytree(src, deck)
+    ctl = open(os.path.join(deck, "control.txt")).read()
+    ctl = ctl.replace("rdf\t6.0 0.05\t100\t0\t-nucl",
+                      "rdf\t6.0 0.05\t25\t0\t-nucl")
+    # small dt keeps the drift-derived list skin small, so the
+    # k_cap >= M "not worth it" guard does not disable list mode
+    ctl = ctl.replace("timestep 0.0005 ps", "timestep 0.0001 ps")
+    open(os.path.join(deck, "control.txt"), "w").write(ctl)
+
+    out_a = str(tmp_path / "ring")
+    out_b = str(tmp_path / "legacy")
+    r = run_deck(deck, out_dir=out_a, n_steps=300, quiet=True)
+    assert r.rcfg is not None and r.rcfg.k_cap > 0, \
+        "deck must exercise the list path"
+    os.environ["AZTOTMD_NO_RING"] = "1"
+    try:
+        run_deck(deck, out_dir=out_b, n_steps=300, quiet=True)
+    finally:
+        del os.environ["AZTOTMD_NO_RING"]
+    ra = open(os.path.join(out_a, "rdf.dat")).read()
+    rb = open(os.path.join(out_b, "rdf.dat")).read()
+    assert ra == rb, "list-sampled rdf.dat differs from direct sampling"
+    sa = open(os.path.join(out_a, "stat.dat")).read()
+    sb = open(os.path.join(out_b, "stat.dat")).read()
+    assert sa == sb
