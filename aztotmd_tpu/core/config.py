@@ -234,6 +234,13 @@ class SimConfig:
     nb_skin: float = 1.5
     nb_rebuild: int = 40
     n_neigh: int = 4
+    # two-level list: the expensive full candidate pass builds an OUTER
+    # (N, n_neigh2) list at reach r_max + nb_skin2 every nb_outer inner
+    # intervals; inner rebuilds refine it with one cheap (N, n_neigh2)
+    # gather + top_k.  nb_outer == 1 disables the outer level.
+    n_neigh2: int = 0
+    nb_skin2: float = 0.0
+    nb_outer: int = 1
 
     # capacities
     mx_bond: int = 0
@@ -341,9 +348,6 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         nb_rebuild = max(10, min(nb_rebuild, 200))
 
         r_nb = r_max + nb_skin
-        nb_grid = make_cell_grid(box, r_nb, n_at,
-                                 target_occupancy=target_occupancy,
-                                 max_cells=max_cells, pos=pos)
         mx = count_k(r_nb)
         # tight margin: the runner's nbr_over monitor grows K and forces
         # a rebuild if density fluctuations ever exceed it, so the
@@ -351,6 +355,27 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         # cost is directly proportional to K)
         n_neigh = _round_up(max(4, mx + max(2, mx // 4)), 4)
         n_neigh = min(n_neigh, n_at)
+
+        # two-level list: the full candidate pass costs ~40 ms at 40k
+        # atoms (the table gather runs at ~6.6 ns/element from HBM), so
+        # amortize it over nb_outer inner intervals when the outer
+        # capacity stays small (dilute systems).  skin2 = nb_outer x
+        # skin keeps the same 6x thermal-speed staleness bound for
+        # inner refines made from an aging outer list.
+        nb_outer = 1
+        nb_skin2 = 0.0
+        n_neigh2 = 0
+        for q in (8, 6, 4, 3, 2):
+            skin2 = nb_skin * q
+            mx2 = count_k(r_max + skin2)
+            k2 = _round_up(max(8, mx2 + max(4, mx2 // 4)), 8)
+            if k2 <= max(64, 8 * n_neigh) and k2 < n_at:
+                nb_outer, nb_skin2, n_neigh2 = q, skin2, k2
+                break
+        grid_reach = r_nb if nb_outer == 1 else r_max + nb_skin2
+        nb_grid = make_cell_grid(box, grid_reach, n_at,
+                                 target_occupancy=target_occupancy,
+                                 max_cells=max_cells, pos=pos)
 
     # degrees of freedom and thermostat constants (sys_init.cpp:1099-1111)
     deg_free = 3 * n_at - n_bonds_init
@@ -426,6 +451,9 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         grid=grid, pair_engine=pair_engine,
         nb_grid=nb_grid, nb_skin=nb_skin, n_neigh=n_neigh,
         nb_rebuild=nb_rebuild,
+        n_neigh2=n_neigh2 if pair_engine == "neighbor" else 0,
+        nb_skin2=nb_skin2 if pair_engine == "neighbor" else 0.0,
+        nb_outer=nb_outer if pair_engine == "neighbor" else 1,
         mx_bond=mx_bond, mx_angle=mx_angle,
         n_free_el=n_free_el, max_neigh=ctl.max_neigh,
         dtype=dtype,

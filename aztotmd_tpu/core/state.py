@@ -108,6 +108,9 @@ class MDState:
     nbr_ref: jax.Array      # (N, 3) positions at last rebuild
     nbr_over: jax.Array     # int32 max real neighbor count seen
     nbr_viol: jax.Array     # int32 skin-violation counter (stale list)
+    # outer level of the two-level Verlet list (cfg.nb_outer > 1)
+    nbr2_idx: jax.Array     # (N, max(n_neigh2, 1)) int32 (sentinel N)
+    nbr2_over: jax.Array    # int32 max outer neighbor count seen
 
     # --- bookkeeping ---
     touched: jax.Array      # (N,) bool: atom's type/topology changed this
@@ -227,6 +230,8 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
         # force a rebuild on the first step
         nbr_ref=pos + np.asarray(1e9, npdt),
         nbr_over=i0(), nbr_viol=i0(),
+        nbr2_idx=np.full((N, max(cfg.n_neigh2, 1)), N, np.int32),
+        nbr2_over=i0(),
         touched=np.zeros((N,), bool),
         rng=rng0,
         step=i0(), cell_overflow=i0(),

@@ -90,16 +90,10 @@ def gather_candidates(cfg, table, coords):
     ncoord = (coords[:, None, :] + offs[None, :, :]) % dims   # (N, S, 3)
     _, ncy, ncz = grid.dims
     ncid = (ncoord[..., 0] * ncy + ncoord[..., 1]) * ncz + ncoord[..., 2]
-    # run-gather from the flat table: each (atom, stencil cell) fetches
-    # its cap CONSECUTIVE slots as one lax.gather slice.  TPU random
-    # gathers cost ~6-7 ns/ELEMENT, so fetching runs instead of scalars
-    # cuts the dominant cost by ~cap x (same trick as the AoS triple
-    # gather in neighbors.py); the 1-D operand avoids any lane padding.
-    n = coords.shape[0]
-    starts = (ncid.reshape(-1, 1) * cap).astype(jnp.int32)    # (N*S, 1)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(),
-        start_index_map=(0,))
-    out = jax.lax.gather(table, starts, dn, slice_sizes=(cap,),
-                         mode=jax.lax.GatherScatterMode.CLIP)
-    return out.reshape(n, -1)                             # (N, S*cap)
+    # flat-index gather from the 1-D table: (N, S) cell ids expand to
+    # (N, S*cap) slot ids — one clean 1-D gather, no lane padding.
+    # (A lax.gather of cap-length runs was measured ~equal here and
+    # slowed the neighbor-rebuild path; reverted.)
+    slots = (ncid[:, :, None] * cap
+             + jnp.arange(cap, dtype=jnp.int32)[None, None, :])
+    return table[slots.reshape(slots.shape[0], -1)]       # (N, S*cap)

@@ -189,3 +189,45 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
                       max_occ=jnp.zeros((), jnp.int32),
                       bind_idx=bind_idx, bind_r2=bind_r2,
                       jump_idx=jump_idx, jump_r2=jump_r2)
+
+
+def refine_neighbors(cfg, pos, nbr2):
+    """Inner Verlet refine: select the n_neigh nearest within
+    r_max + nb_skin from the OUTER (N, n_neigh2) list — one small AoS
+    gather + top_k instead of the full candidate pass (~1 ms vs ~40 ms
+    at 40k atoms; the full pass's table gather runs at ~6.6 ns/element).
+
+    Returns (idx (N, K), n_real_max) — same contract as the inner list
+    of build_neighbors.
+    """
+    N = cfg.n_at
+    K = cfg.n_neigh
+    dt = pos.dtype
+    cand = nbr2                                           # (N, K2)
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
+    r2 = jnp.sum(delta * delta, axis=-1)
+    r_nb = cfg.r_max + cfg.nb_skin
+    mask = (cand != N) & (r2 <= r_nb * r_nb)
+    r2m = jnp.where(mask, r2, jnp.inf)
+    kk = min(K, cand.shape[1])
+    _, cols = jax.lax.top_k(-r2m.astype(jnp.float32), kk)
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None]
+    idx = cand[rows, cols]
+    keep = jnp.take_along_axis(mask, cols, axis=1)
+    idx = jnp.where(keep, idx, N).astype(jnp.int32)
+    if kk < K:
+        idx = jnp.concatenate(
+            [idx, jnp.full((N, K - kk), N, jnp.int32)], axis=1)
+    n_real = jnp.sum(mask, axis=1)
+    return idx, jnp.max(n_real).astype(jnp.int32)
+
+
+def build_outer_neighbors(cfg, pos):
+    """Full candidate pass at the OUTER reach r_max + nb_skin2 into an
+    (N, n_neigh2) list (cfg.nb_grid is sized for the outer reach when
+    the two-level list is enabled).  Returns (idx2, n_real2_max, occ)."""
+    import dataclasses
+    ocfg = dataclasses.replace(cfg, n_neigh=cfg.n_neigh2,
+                               nb_skin=cfg.nb_skin2)
+    return build_neighbors(ocfg, pos)

@@ -129,13 +129,20 @@ def tstat_radiative(cfg, ff, state, photons, gid=None, valid=None):
 
     # rotating photon index (the reference walks the table by per-block
     # atomicAdd of curEng; a stride by a large odd constant per step gives
-    # the same decorrelation without the race)
+    # the same decorrelation without the race).  pe[i] =
+    # photons[(gid_i + step*C) % N]; for the contiguous single-device
+    # gid this is a pure rotation — jnp.roll (two dynamic slices), NOT a
+    # general gather, which TPU executes at ~6.6 ns/element (265 us/step
+    # profiled, the single most expensive per-step op before this).
     N = cfg.n_at
-    ei = (gid.astype(jnp.uint32) + state.step.astype(jnp.uint32)
-          * jnp.uint32(2654435761)) % jnp.uint32(N)
-    pe = photons[ei.astype(jnp.int32)]
-    if valid is not None:
-        pe = jnp.where(valid, pe, 0.0)
+    shift = (state.step.astype(jnp.uint32)
+             * jnp.uint32(2654435761)) % jnp.uint32(N)
+    if valid is None and gid.shape[0] == N:
+        pe = jnp.roll(photons, -shift.astype(jnp.int32))
+    else:
+        ei = (gid.astype(jnp.uint32) + shift) % jnp.uint32(N)
+        pe = photons[ei.astype(jnp.int32)]
+        pe = jnp.where(valid, pe, 0.0) if valid is not None else pe
 
     # --- absorb (adsorb_rand_photon, cuTemp.cu:484-507) ---
     v02 = jnp.sum(vel * vel, axis=-1)

@@ -557,6 +557,22 @@ class MDRunner:
                     nbr_idx=jax.numpy.asarray(pad),
                     nbr_ref=self.state.nbr_ref + 1e9)   # force rebuild
                 self._build_programs()
+            if self.cfg.nb_outer > 1:
+                over2 = int(self.state.nbr2_over)
+                if over2 > self.cfg.n_neigh2:
+                    from ..core.config import _round_up
+                    new_k2 = _round_up(over2 + max(4, over2 // 4), 8)
+                    print(f"WARNING: outer neighbor count {over2} "
+                          f"exceeded capacity {self.cfg.n_neigh2}; "
+                          f"rebuilding with K2={new_k2}", file=sys.stderr)
+                    self.cfg = dataclasses.replace(self.cfg,
+                                                   n_neigh2=new_k2)
+                    N = self.cfg.n_at
+                    pad2 = np.full((N, new_k2), N, np.int32)
+                    self.state = self.state.replace(
+                        nbr2_idx=jax.numpy.asarray(pad2),
+                        nbr_ref=self.state.nbr_ref + 1e9)
+                    self._build_programs()
         # cell_overflow tracks the NB grid in neighbor mode, the main
         # grid otherwise — compare against the right capacity
         g = (self.cfg.nb_grid if self.cfg.pair_engine == "neighbor"

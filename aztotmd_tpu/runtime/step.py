@@ -40,15 +40,34 @@ class StepAux:
 
 
 def rebuild_neighbors_state(cfg, state):
-    """Unconditional Verlet-list rebuild (used at scan boundaries —
-    a data-dependent lax.cond on TPU may execute BOTH branches, which
-    made dense decks pay the full rebuild every step)."""
+    """Unconditional FULL Verlet-list rebuild (used at scan
+    boundaries — a data-dependent lax.cond on TPU may execute BOTH
+    branches, which made dense decks pay the full rebuild every step).
+    With the two-level list on, this rebuilds the outer list and
+    refines the inner one from it."""
     from ..ops import neighbors as ops_nbr
+    if cfg.nb_outer > 1:
+        idx2, nmax2, occ = ops_nbr.build_outer_neighbors(cfg, state.pos)
+        idx, nmax = ops_nbr.refine_neighbors(cfg, state.pos, idx2)
+        return state.replace(
+            nbr_idx=idx, nbr_ref=state.pos, nbr2_idx=idx2,
+            nbr_over=jnp.maximum(state.nbr_over, nmax),
+            nbr2_over=jnp.maximum(state.nbr2_over, nmax2),
+            cell_overflow=jnp.maximum(state.cell_overflow, occ))
     idx, nmax, occ = ops_nbr.build_neighbors(cfg, state.pos)
     return state.replace(
         nbr_idx=idx, nbr_ref=state.pos,
         nbr_over=jnp.maximum(state.nbr_over, nmax),
         cell_overflow=jnp.maximum(state.cell_overflow, occ))
+
+
+def refine_neighbors_state(cfg, state):
+    """Cheap inner refine from the existing outer list."""
+    from ..ops import neighbors as ops_nbr
+    idx, nmax = ops_nbr.refine_neighbors(cfg, state.pos, state.nbr2_idx)
+    return state.replace(
+        nbr_idx=idx, nbr_ref=state.pos,
+        nbr_over=jnp.maximum(state.nbr_over, nmax))
 
 
 def make_step(cfg, aux: StepAux | None = None,
@@ -257,23 +276,51 @@ def make_multi_step(cfg, aux: StepAux | None = None, jit: bool = True,
     else:
         step = make_step(cfg, aux, nbr_auto_rebuild=False)
         R = max(int(cfg.nb_rebuild), 1)
+        Q = max(int(cfg.nb_outer), 1)
 
         def multi(state, ff, n: int):
             def inner(s, _):
                 return step(s, ff), None
 
-            def block(s, r):
-                s = rebuild_neighbors_state(cfg, s)
+            def block(s, r, full):
+                s = rebuild_neighbors_state(cfg, s) if full \
+                    else refine_neighbors_state(cfg, s)
                 s, _ = jax.lax.scan(inner, s, None, length=r)
                 return s
+
+            if Q > 1:
+                # two-level: a full rebuild every Q*R steps, cheap
+                # refines from the outer list every R steps between
+                def superblock(s, m):
+                    s = rebuild_neighbors_state(cfg, s)
+                    s, _ = jax.lax.scan(inner, s, None, length=min(R, m))
+                    m_in, rem_in = divmod(max(m - R, 0), R)
+                    if m_in:
+                        def iblock(s, _):
+                            return block(s, R, False), None
+                        s, _ = jax.lax.scan(iblock, s, None,
+                                            length=m_in)
+                    if rem_in:
+                        s = block(s, rem_in, False)
+                    return s
+
+                n_sup, rem = divmod(n, Q * R)
+                if n_sup:
+                    def souter(s, _):
+                        return superblock(s, Q * R), None
+                    state, _ = jax.lax.scan(souter, state, None,
+                                            length=n_sup)
+                if rem:
+                    state = superblock(state, rem)
+                return state
 
             n_out, rem = divmod(n, R)
             if n_out:
                 def outer(s, _):
-                    return block(s, R), None
+                    return block(s, R, True), None
                 state, _ = jax.lax.scan(outer, state, None, length=n_out)
             if rem:
-                state = block(state, rem)
+                state = block(state, rem, True)
             return state
 
     if not jit:
