@@ -232,6 +232,27 @@ class MDRunner:
             p_stat, p_rdf = self.p_stat, self.p_rdf
             fuse_rdf = rcfg is not None and bool(p_rdf)
             use_list = bool(fuse_rdf and rcfg.k_cap > 0)
+            # two-level Verlet interplay: make_multi_step starts every
+            # call with a FULL rebuild (outer + inner), which is the
+            # expensive candidate pass.  When the RDF sub-blocks are
+            # short enough, do ONE full rebuild per stat period here
+            # and only the cheap inner refine per sub-block.
+            refine_blocks = bool(
+                fuse_rdf and cfg.pair_engine == "neighbor"
+                and cfg.nb_outer > 1 and p_rdf <= cfg.nb_rebuild
+                and p_stat <= cfg.nb_outer * cfg.nb_rebuild)
+            if refine_blocks:
+                from .step import (make_step, refine_neighbors_state,
+                                   rebuild_neighbors_state)
+                step1 = make_step(cfg, self.aux, nbr_auto_rebuild=False)
+
+                def base_refine(s, ff, n: int):
+                    s = refine_neighbors_state(cfg, s)
+
+                    def inner(s_, _):
+                        return step1(s_, ff), None
+                    s, _ = jax.lax.scan(inner, s, None, length=n)
+                    return s
             if use_list:
                 # amortize the candidate pass: one (N, k_cap) RDF
                 # neighbor list per stat period, skin-padded to absorb
@@ -239,14 +260,43 @@ class MDRunner:
                 from ..ops.neighbors import build_neighbors
                 lcfg = ops_rdf.rdf_list_cfg(cfg, rcfg)
 
+            # when the RDF list's reach covers the outer Verlet reach,
+            # ONE full candidate pass serves both: the outer list is a
+            # top-k refine of the RDF list (saves the second ~40 ms
+            # pass per stat period)
+            rdf_covers_outer = bool(
+                refine_blocks and use_list
+                and math.sqrt(rcfg.r2_max) + rcfg.skin
+                >= cfg.r_max + cfg.nb_skin2)
+            if rdf_covers_outer:
+                import dataclasses as _dc
+                from ..ops.neighbors import refine_neighbors
+                ocfg_view = _dc.replace(cfg, n_neigh=cfg.n_neigh2,
+                                        nb_skin=cfg.nb_skin2)
+
             def stat_block(s, h, nh, ff):
                 if fuse_rdf:
                     if use_list:
                         nbr, _, _ = build_neighbors(lcfg, s.pos)
+                    if rdf_covers_outer:
+                        idx2, nmax2 = refine_neighbors(ocfg_view,
+                                                       s.pos, nbr)
+                        s = s.replace(
+                            nbr2_idx=idx2,
+                            nbr2_over=jax.numpy.maximum(s.nbr2_over,
+                                                        nmax2))
+                        # the first base_refine call re-derives the
+                        # inner list from this fresh outer list
+                    elif refine_blocks:
+                        from .step import rebuild_neighbors_state as _rb
+                        s = _rb(cfg, s)
 
                     def body(c, _):
                         s, h, nh = c
-                        s = base(s, ff, p_rdf)
+                        if refine_blocks:
+                            s = base_refine(s, ff, p_rdf)
+                        else:
+                            s = base(s, ff, p_rdf)
                         if use_list:
                             h, nh = ops_rdf.rdf_sample_list(
                                 cfg, rcfg, s.pos, s.types, s.spec_number,
