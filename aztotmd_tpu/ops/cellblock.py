@@ -41,21 +41,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def make_block_grid(box, r_max: float, n_at: int,
-                    min_occupancy: float = 1.0,
-                    max_cells: int = 1 << 20,
-                    pos=None):
-    """Choose block-grid dims: cell edge >= r_max (27-stencil), total
-    cells bounded so the average occupancy stays >= min_occupancy (the
-    per-offset work is n_cell * cap^2 — empty cells are pure overhead).
-    """
+def _block_grid_candidate(box, r_max, n_at, k, max_cells, min_occupancy,
+                          pos):
+    """One candidate grid with cell edge ~ r_max/k; returns
+    (cost, CellGrid) or None if over budget.  Cost model: per-offset
+    work is stencil * cap^2 * n_cell — CLUSTERED decks prefer sub-
+    cutoff cells (cap shrinks ~e^3, squared; the stencil only grows
+    ~(2k+1)^3/k^3 -> 8)."""
     from ..core.config import CellGrid
-    if r_max <= 0.0:
-        raise ValueError("r_max must be positive")
-    dims = [max(1, int(length / r_max)) for length in box]
+    dims = [max(1, int(length * k / r_max)) for length in box]
     n_cell = dims[0] * dims[1] * dims[2]
-    budget = min(max_cells, max(1, int(n_at / min_occupancy)))
+    budget = min(max_cells, max(1, int(n_at * k ** 3 / min_occupancy)))
     if n_cell > budget:
+        if k > 1:
+            return None
         s = (budget / n_cell) ** (1.0 / 3.0)
         dims = [max(1, int(d * s)) for d in dims]
     dims = tuple(dims)
@@ -93,7 +92,41 @@ def make_block_grid(box, r_max: float, n_at: int,
         occ = int(np.bincount(cid, minlength=n_cell).max())
         cap = max(cap, _round_up(occ + max(2, occ // 4), 2))
     cap = min(cap, _round_up(n_at, 2))
-    return CellGrid(dims=dims, cap=cap, stencil=tuple(stencil), edge=edge)
+    # the pair pass unrolls a Python loop per stencil offset, so the
+    # compiled graph (and TPU compile time) scales with S; a 125-offset
+    # grid took the scanned chunk past the compile budget.  Keep only
+    # candidates with a modest stencil.
+    if len(stencil) > 32 and k > 1:
+        return None
+    cost = len(stencil) * cap * cap * n_cell
+    return cost, CellGrid(dims=dims, cap=cap, stencil=tuple(stencil),
+                          edge=edge)
+
+
+def make_block_grid(box, r_max: float, n_at: int,
+                    min_occupancy: float = 1.0,
+                    max_cells: int = 1 << 20,
+                    pos=None):
+    """Choose block-grid dims by minimizing the modeled pair-pass cost
+    over sub-cutoff cell sizes (edge ~ r_max/k for k = 1..4).
+
+    Clustered decks (e.g. case study 2, local density ~5x the mean)
+    gain most: with edge >= r the densest cell sets cap (~320 at 4k
+    atoms) and the pass does stencil*cap^2*n_cell slots; quartering the
+    edge cuts cap ~64x for only a ~(2k+1)^3 stencil.  Without ``pos``
+    only k=1 is considered (cap would be guessed, and the dilute case
+    prefers big cells anyway).
+    """
+    if r_max <= 0.0:
+        raise ValueError("r_max must be positive")
+    ks = (1, 2, 3, 4) if pos is not None else (1,)
+    best = None
+    for k in ks:
+        cand = _block_grid_candidate(box, r_max, n_at, k, max_cells,
+                                     min_occupancy, pos)
+        if cand is not None and (best is None or cand[0] < best[0]):
+            best = cand
+    return best[1]
 
 
 def bin_atoms(cfg, pos, extra=()):

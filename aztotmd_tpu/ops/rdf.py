@@ -92,7 +92,11 @@ def make_rdf_config(ctl, cfg, max_cells: int = 1 << 20,
         mx = _max_neigh_count(pos, cfg.box, ctl.r_rdf + skin)
         k_cap = _round_up(mx + mx // 2 + 8, 8)
         M = len(grid.stencil) * grid.cap
-        if k_cap >= M:      # dense deck: the list would not be smaller
+        # disable when the list would not be smaller than the candidate
+        # matrix, when the deck is small/dense enough that rdf_sample
+        # dispatches to the all-pairs path anyway, or when the "list"
+        # would hold most of the system
+        if k_cap >= M or cfg.n_at <= M or k_cap > cfg.n_at // 4:
             k_cap = 0
             skin = 0.0
     return RdfConfig(
@@ -116,18 +120,60 @@ def zero_hist(rcfg: RdfConfig, dtype=jnp.float32):
 
 def _hist_counts(flat, n_slot: int, dtype):
     """Histogram COUNTS of int32 ids in [0, n_slot) (ids == n_slot are
-    dropped) via one global sort + ``searchsorted`` — O(E log E).
+    dropped) — scatter-free (a TPU scatter serializes per source
+    element: the (N, M)-candidate scatter onto a ~700-slot histogram
+    cost ~200 ms/sample on cs1).
 
-    Alternatives measured and rejected: a TPU scatter serializes per
-    source element (the (N, M)-candidate scatter onto a ~700-slot
-    histogram cost ~200 ms/sample on cs1); a (n_slot, E) masked-compare
-    reduction is O(E*n_slot), which explodes on dense decks (cs2:
-    E~20M x 2400 slots = 48 G ops/sample).  Sort + binary-searched bin
-    edges is scatter-free, compare-matrix-free, and exact."""
-    ids = jnp.sort(flat.reshape(-1))
+    Small/medium E: one global sort + binary-searched bin edges,
+    O(E log E).  Large E on TPU: sorts of tens of millions of elements
+    inside the scanned chunk have crashed the TPU worker (and cost
+    ~65 ms warm); the (n_slot, E) masked-compare reduction is pure VPU
+    streaming (~50 ms at E=20M x 2400 slots) and robust, so it takes
+    over past 8M elements.  On CPU the compare matrix is minutes —
+    always sort there."""
+    ids = flat.reshape(-1)
+    use_compare = (ids.size > (8 << 20)
+                   and jax.default_backend() != "cpu")
+    if use_compare:
+        slots = jnp.arange(n_slot, dtype=jnp.int32)
+        return jnp.sum((ids[None, :] == slots[:, None]).astype(dtype),
+                       axis=1)
+    ids = jnp.sort(ids)
     edges = jnp.arange(n_slot + 1, dtype=ids.dtype)
     pos = jnp.searchsorted(ids, edges, side="left")
     return jnp.diff(pos).astype(dtype)
+
+
+def rdf_sample_allpairs(cfg, rcfg: RdfConfig, pos, types, spec_number,
+                        spec_nuclei, nucl_number, hist, nhist=None):
+    """All-pairs RDF sample for small dense systems (the reference's
+    own approach, brute_rdf cuStat.cu:436-512 — but as broadcasts, no
+    atomics).  Preferred when N^2 is smaller than the cell-candidate
+    matrix (clustered decks blow the per-cell cap: case study 2's RDF
+    grid reached cap ~770, an 83M-slot candidate matrix, vs N^2=16M).
+    SoA per-component broadcasts: zero gathers, no (N,N,3) lane-padded
+    intermediate."""
+    N = cfg.n_at
+    dt = pos.dtype
+    box = jnp.asarray(cfg.box, dt)
+    r2 = jnp.zeros((N, N), dt)
+    for k in range(3):
+        d = pos[:, k][:, None] - pos[:, k][None, :]
+        d = d - box[k] * jnp.round(d / box[k])
+        r2 = r2 + d * d
+    own = jnp.arange(N, dtype=jnp.int32)
+    mask = (own[:, None] < own[None, :]) & (r2 < rcfg.r2_max)
+    r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+    ib = jnp.minimum((r / rcfg.d_rdf).astype(jnp.int32), rcfg.n_bin - 1)
+    if rcfg.n_spec == 1:
+        ip = 0
+    else:
+        ip = pair_index(rcfg.n_spec, types[:, None], types[None, :])
+    B = rcfg.n_bin * rcfg.n_pair
+    flat = jnp.where(mask, ib * rcfg.n_pair + ip, B)
+    counts = _hist_counts(flat, B, dt).reshape(rcfg.n_bin, rcfg.n_pair)
+    return _apply_weights(cfg, rcfg, counts, spec_number, spec_nuclei,
+                          nucl_number, hist, nhist)
 
 
 def rdf_sample(cfg, rcfg: RdfConfig, pos, types, spec_number,
@@ -145,6 +191,12 @@ def rdf_sample(cfg, rcfg: RdfConfig, pos, types, spec_number,
     import dataclasses
     N = cfg.n_at
     dt = pos.dtype
+    # dense/small systems: the cell candidate matrix (N, S*cap) is
+    # LARGER than all-pairs once the densest cell sets cap — use the
+    # brute broadcast path instead (no gathers, no giant table)
+    if N <= len(rcfg.grid.stencil) * rcfg.grid.cap:
+        return rdf_sample_allpairs(cfg, rcfg, pos, types, spec_number,
+                                   spec_nuclei, nucl_number, hist, nhist)
     # reuse the bucketed cell machinery with the RDF grid
     gcfg = dataclasses.replace(cfg, grid=rcfg.grid)
     coords = cl.cell_coords(gcfg, pos)

@@ -40,7 +40,7 @@ def _gauss_velocities(masses, te_kin, deg_free, rng):
 def build_system(ctl: ControlSpec, fld, atoms, bonds=None, angles=None,
                  dtype: str = "f32", seed: int = 12345,
                  target_occupancy: float = 4.0, max_cells: int = 1 << 21,
-                 extras: dict | None = None):
+                 extras: dict | None = None, pair_engine: str = "auto"):
     """Returns (cfg, ff, state, aux).
 
     ``extras``: optional dict that receives host-side init byproducts
@@ -56,7 +56,8 @@ def build_system(ctl: ControlSpec, fld, atoms, bonds=None, angles=None,
     cfg = build_sim_config(ctl, fld, atoms.box, n_at,
                            n_bonds_init=n_bonds_init, dtype=dtype,
                            target_occupancy=target_occupancy,
-                           max_cells=max_cells, pos=atoms.pos)
+                           max_cells=max_cells, pos=atoms.pos,
+                           pair_engine=pair_engine)
 
     # Ewald constant part needs actual charges
     if ctl.elec.type == ELEC_EWALD:
