@@ -315,7 +315,9 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
     if pair_engine in ("block", "pallas"):
         from ..ops.cellblock import make_block_grid
         grid = make_block_grid(box, r_max, n_at, max_cells=max_cells,
-                               pos=pos)
+                               pos=pos,
+                               hint_edge=ctl.cell_size
+                               if ctl.use_clist else 0.0)
     else:
         grid = make_cell_grid(box, r_max, n_at,
                               target_occupancy=target_occupancy,

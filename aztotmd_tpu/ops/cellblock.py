@@ -106,7 +106,7 @@ def _block_grid_candidate(box, r_max, n_at, k, max_cells, min_occupancy,
 def make_block_grid(box, r_max: float, n_at: int,
                     min_occupancy: float = 1.0,
                     max_cells: int = 1 << 20,
-                    pos=None):
+                    pos=None, hint_edge: float = 0.0):
     """Choose block-grid dims by minimizing the modeled pair-pass cost
     over sub-cutoff cell sizes (edge ~ r_max/k for k = 1..4).
 
@@ -119,7 +119,12 @@ def make_block_grid(box, r_max: float, n_at: int,
     """
     if r_max <= 0.0:
         raise ValueError("r_max must be positive")
-    ks = (1, 2, 3, 4) if pos is not None else (1,)
+    ks = [1, 2, 3, 4] if pos is not None else [1]
+    if hint_edge and hint_edge > 0:
+        # the deck's `cell_list <size>` directive (sys_init.cpp:700-706)
+        # competes as one more candidate under the same cost model, so
+        # the auto-pick can honor but never lose to it
+        ks.append(r_max / hint_edge)
     best = None
     for k in ks:
         cand = _block_grid_candidate(box, r_max, n_at, k, max_cells,

@@ -163,9 +163,14 @@ class MDRunner:
             self.ring_ok = self.ring_ok and (self.p_stat % self.p_rdf == 0)
         if self.ring_ok:
             # dispatches target ~this many steps (tunnel round trips are
-            # ~100 ms; the flush pipeline hides the host write time)
+            # ~100 ms; the flush pipeline hides the host write time).
+            # A deck-provided cuda.txt/tpu.txt `nstep stat` depth is
+            # honored as the flush granularity (cuInit.cu:701-739).
+            dev = sysd.get("dev")
             target = int(os.environ.get("AZTOTMD_RING_STEPS", "8000"))
             self.s_cap = max(1, min(512, target // self.p_stat or 1))
+            if dev is not None and dev.nstep_stat != 10:
+                self.s_cap = max(1, min(512, dev.nstep_stat))
             self._spec_counts0 = np.bincount(
                 types_h, minlength=cfg.n_spec)
             (self._fsl, self._nf, self._isl, self._ni) = \

@@ -130,31 +130,41 @@ def test_ring_mode_matches_legacy_sampling(tmp_path):
 
 
 def test_ring_list_rdf_matches_legacy(tmp_path):
-    """When fr_rdf < stat the ring samples RDF from the skin-padded
-    neighbor list (rdf_sample_list); the histogram must match the
-    direct candidate-matrix sampling of the legacy path exactly."""
-    import shutil
+    """When fr_rdf < stat on a large dilute deck the ring samples RDF
+    from the skin-padded neighbor list (rdf_sample_list); the histogram
+    must match the direct candidate-matrix sampling of the legacy path
+    exactly.  (Small/dense decks dispatch to all-pairs instead, so this
+    needs a deck with N > S*cap.)"""
     from aztotmd_tpu.runtime.runner import run_deck
-    src = os.path.join(os.path.dirname(__file__), "..", "examples",
-                       "bonded_fluid")
     deck = str(tmp_path / "deck")
-    shutil.copytree(src, deck)
-    ctl = open(os.path.join(deck, "control.txt")).read()
-    ctl = ctl.replace("rdf\t6.0 0.05\t100\t0\t-nucl",
-                      "rdf\t6.0 0.05\t25\t0\t-nucl")
-    # small dt keeps the drift-derived list skin small, so the
-    # k_cap >= M "not worth it" guard does not disable list mode
-    ctl = ctl.replace("timestep 0.0005 ps", "timestep 0.0001 ps")
-    open(os.path.join(deck, "control.txt"), "w").write(ctl)
+    os.makedirs(deck)
+    # 12^3 = 1728-atom dilute LJ lattice in a 96 A box
+    n_side, spacing = 12, 8.0
+    box = n_side * spacing
+    g = np.arange(n_side) * spacing + 0.37 * spacing
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    with open(os.path.join(deck, "atoms.xyz"), "w") as f:
+        f.write(f"{len(pos)}\n1 {box:.6f} {box:.6f} {box:.6f}\n")
+        for p in pos:
+            f.write(f"Ar\t{p[0]:.6f}\t{p[1]:.6f}\t{p[2]:.6f}\n")
+    open(os.path.join(deck, "field.txt"), "w").write(
+        "spec 1\nAr\tAr\t40.0\t0.0\t0.0\n"
+        "red-ox 0\nvdw 1\nAr\tAr\tlnjs\t4.0\t0.01\t3.4\n")
+    open(os.path.join(deck, "control.txt"), "w").write(
+        "timestep 0.0002 ps\nnstep 1000\n"
+        "temperature 100.0\tnose\t0.5\ninit_vel\tgaus\n"
+        "permittivity 1.0\nelec\tnone\n"
+        "rdf\t6.0 0.05\t25\t0\t-nucl\nstat\t50\n")
 
     out_a = str(tmp_path / "ring")
     out_b = str(tmp_path / "legacy")
-    r = run_deck(deck, out_dir=out_a, n_steps=300, quiet=True)
+    r = run_deck(deck, out_dir=out_a, n_steps=200, quiet=True)
     assert r.rcfg is not None and r.rcfg.k_cap > 0, \
         "deck must exercise the list path"
     os.environ["AZTOTMD_NO_RING"] = "1"
     try:
-        run_deck(deck, out_dir=out_b, n_steps=300, quiet=True)
+        run_deck(deck, out_dir=out_b, n_steps=200, quiet=True)
     finally:
         del os.environ["AZTOTMD_NO_RING"]
     ra = open(os.path.join(out_a, "rdf.dat")).read()
