@@ -94,13 +94,21 @@ def make_kvectors(cfg):
     return rk, w
 
 
-def ewald_recip(cfg, pos, charge, rk, w):
+def ewald_recip(cfg, pos, charge, rk, w, axis=None):
     """Reciprocal-space energy and forces.
 
     pos: (N,3), charge: (N,), rk: (K,3), w: (K,)
     Returns (forces (N,3), energy scalar).
     escale = 2pi/V * Fcoul/eps;  fscale = 2*escale  (cuInit.cu:1011-1012)
+
+    axis: optional shard_map axis name — each device computes the
+    partial structure factor over its local atoms and the full S(k)
+    comes from one psum over the mesh (the multi-chip extension of
+    recip_ewald's shared->global reduction, cuElec.cu:151-328); the
+    returned energy is the replicated GLOBAL recip energy, the forces
+    cover the local atoms.
     """
+    import jax as _jax
     dt = pos.dtype
     # half-space k-sum: E = (4pi/V) sum_half w |S|^2, F = 2x that
     # (ewald_scale = 2*2pi/V*Fcoul/eps, elec.cpp:381)
@@ -115,6 +123,9 @@ def ewald_recip(cfg, pos, charge, rk, w):
     qs = charge[:, None] * s                       # Im
     Sre = jnp.sum(qc, axis=0)                      # (K,)
     Sim = jnp.sum(qs, axis=0)
+    if axis is not None:
+        Sre = _jax.lax.psum(Sre, axis)
+        Sim = _jax.lax.psum(Sim, axis)
     eng = escale * jnp.sum(w * (Sre * Sre + Sim * Sim))
     # per-atom force: fscale * w * (Im(q e^{ith}) Re S - Re(q e^{ith}) Im S)
     coef = fscale * w * (qs * Sre[None, :] - qc * Sim[None, :])  # (N, K)

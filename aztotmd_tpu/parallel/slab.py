@@ -19,7 +19,8 @@ identical to the single-device engine because its noise is keyed by
 (seed, step, global atom id) (ops/prng.py), not by array position.
 
 Scope: the non-reactive subset (pair potentials incl. Surkov radii,
-direct/Fennel electrostatics, all thermostats) — which covers both
+direct/Fennel/full-Ewald electrostatics — the recip sum is a per-slab
+partial S(k) + one psum — and all thermostats), which covers both
 reference case studies.  Reactive topology (bonds/angles/ejump) runs
 single-chip or atom-sharded (parallel/mesh.py).
 
@@ -40,7 +41,7 @@ from jax import shard_map
 
 from ..core.config import _round_up
 from ..core.state import Energies
-from ..io.control import ELEC_NONE, TSTAT_NOSE, TSTAT_RADI
+from ..io.control import ELEC_EWALD, ELEC_NONE, TSTAT_NOSE, TSTAT_RADI
 from ..ops import integrate as integ
 from ..ops import thermostat as tstat
 from ..ops.pairs import MX_FRC
@@ -78,7 +79,12 @@ class SlabState:
     cross_pos: jax.Array  # (nsp, 3) int32
     cross_neg: jax.Array
     mig_total: jax.Array  # () int32 — atoms migrated so far (diagnostic)
-    mig_lost: jax.Array   # () int32 — dropped by buffer/capacity overflow
+    mig_lost: jax.Array   # () int32 — atoms DELETED (receiver slots full)
+    mig_defer: jax.Array  # () int32 — sends deferred to a later step
+    #                       (sender buffer full / >1-slab movers; the
+    #                       atom stays put and retries next step)
+    slab_occ: jax.Array   # () int32 — max per-cell occupancy seen (vs
+    #                       grid.cap; the slab analog of cell_overflow)
 
     def replace(self, **kw) -> "SlabState":
         return dataclasses.replace(self, **kw)
@@ -100,6 +106,9 @@ def slab_caps(cfg, n_dev: int, cap_factor: float = 1.6):
 
 def check_slab_cfg(cfg, n_dev: int):
     grid = cfg.grid
+    if n_dev < 2:
+        raise ValueError("slab mode needs >= 2 devices (single-device "
+                         "runs use the regular engines)")
     if grid.dims[0] % n_dev:
         raise ValueError(f"ncx={grid.dims[0]} not divisible by {n_dev}")
     if min(grid.dims) < 3 or any(abs(o) > 1 for off in grid.stencil
@@ -139,8 +148,9 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
 
     pos = np.asarray(state.pos)
     dt = pos.dtype
-    cx = np.clip((pos[:, 0] / cfg.box[0] * ncx).astype(np.int64),
-                 0, ncx - 1)
+    # same cell-x expression as _pair_pass/_migrate (see _migrate)
+    scale_x = dt.type(ncx / cfg.box[0])
+    cx = np.floor(pos[:, 0] * scale_x).astype(np.int64) % ncx
     dev_of = cx // nloc
 
     def alloc(shape, dtype, fill=0):
@@ -182,6 +192,8 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
         cross_neg=np.asarray(state.cross_neg),
         mig_total=np.zeros((), np.int32),
         mig_lost=np.zeros((), np.int32),
+        mig_defer=np.zeros((), np.int32),
+        slab_occ=np.zeros((), np.int32),
         **out)
 
     def put(path, leaf):
@@ -215,22 +227,33 @@ def _migrate(cfg, n_dev, nloc, M, st_dict, valid):
     """Send atoms that crossed a slab boundary to the neighbor device.
 
     One hop per step (an atom cannot cross a whole slab in one dt at
-    sane timesteps; farther movers are counted in mig_lost and kept).
-    Returns (new st_dict, valid, n_migrated, n_lost).
+    sane timesteps; farther movers stay put and are counted in
+    mig_defer).  Returns (new st_dict, valid, n_migrated, n_lost,
+    n_defer) — n_lost counts DELETED atoms (receiver slots full);
+    n_defer counts atoms kept in place for a later retry.
     """
     pos = st_dict["pos"]
     dt = pos.dtype
     C = pos.shape[0]
     dev = jax.lax.axis_index(AXIS)
     ncx = nloc * n_dev
-    cx = jnp.clip((pos[:, 0] / cfg.box[0] * ncx).astype(jnp.int32),
-                  0, ncx - 1)
+    # EXACTLY the cell-x expression of _pair_pass (floor(pos*scale) mod
+    # ncx) — any FP divergence between the two puts a boundary atom on a
+    # device whose pair pass treats it as out-of-slab (zero forces)
+    scale_x = jnp.asarray(ncx / cfg.box[0], dt)
+    cx = jnp.floor(pos[:, 0] * scale_x).astype(jnp.int32) % ncx
     slab = cx // nloc
     delta = (slab - dev) % n_dev                 # 0 stay, 1 right, D-1 left
     go_r = valid & (delta == 1)
-    go_l = valid & (delta == n_dev - 1)
+    if n_dev == 2:
+        # both neighbors are the SAME device: delta==1 covers both
+        # directions and the right exchange alone delivers correctly;
+        # a second (left) exchange would duplicate every crosser
+        go_l = jnp.zeros_like(go_r)
+    else:
+        go_l = valid & (delta == n_dev - 1)
     stray = valid & (delta != 0) & ~go_r & ~go_l
-    n_lost_stray = jnp.sum(stray.astype(jnp.int32))
+    n_stray = jnp.sum(stray.astype(jnp.int32))
 
     def pack(go):
         """Compact sender rows into fixed (M, ...) buffers."""
@@ -291,16 +314,21 @@ def _migrate(cfg, n_dev, nloc, M, st_dict, valid):
         st_dict[k] = st_dict[k].at[dest].set(jnp.where(m, r, old),
                                              mode="drop")
     valid = st_dict["gid"] >= 0
-    n_lost = (ov_r + ov_l + n_lost_stray
-              + jnp.maximum(n_recv - n_free, 0))
-    return st_dict, valid, n_recv, n_lost
+    # true deletions (sender already cleared, receiver had no slot) vs
+    # deferred sends (atom stayed put, retried next step)
+    n_lost = jnp.maximum(n_recv - n_free, 0)
+    n_defer = ov_r + ov_l + n_stray
+    return st_dict, valid, n_recv, n_lost, n_defer
 
 
 # ----------------------------------------------------------------------
 def _pair_pass(cfg, ff, n_dev, st_dict, valid):
     """Bin local atoms, halo-exchange boundary planes, run the stencil
-    pair pass.  Returns (frc (C,3), e_vdw, e_coul) — per-device locals;
-    energies need a psum by the caller."""
+    pair pass.  Returns (frc (C,3), e_vdw, e_coul, occ) — per-device
+    locals; energies need a psum by the caller; occ is the max per-cell
+    occupancy (rank >= cap atoms get NO pair force — the caller must
+    monitor occ against grid.cap like the single-device cell_overflow
+    path, runner._check_overflow)."""
     grid = cfg.grid
     ncx, ncy, ncz = grid.dims
     cap = grid.cap
@@ -326,6 +354,8 @@ def _pair_pass(cfg, ff, n_dev, st_dict, valid):
     rank = jnp.arange(C, dtype=jnp.int32) - first.astype(jnp.int32)
     slot = jnp.where((rank < cap) & (scid < n_cell_loc),
                      rank * n_cell_loc + scid, cap * n_cell_loc)
+    occ = jnp.max(jnp.where(scid < n_cell_loc, rank + 1, 0)) \
+        .astype(jnp.int32)
 
     def blk(vals, fill=0.0):
         out = jnp.full((cap * n_cell_loc,), fill, vals.dtype)
@@ -450,7 +480,7 @@ def _pair_pass(cfg, ff, n_dev, st_dict, valid):
         return flat[jnp.minimum(soa, cap * n_cell_loc)]
 
     frc = jnp.stack([unsort(fx), unsort(fy), unsort(fz)], axis=1)
-    return frc, e_vdw, e_coul
+    return frc, e_vdw, e_coul, occ
 
 
 # ----------------------------------------------------------------------
@@ -475,6 +505,11 @@ def make_slab_step(cfg, aux, mesh: Mesh):
     _, M = slab_caps(cfg, n_dev)
     fdt = cfg.jnp_dtype
     photons = aux.photons if aux is not None else None
+    ewald_rk = aux.rk if aux is not None else None
+    ewald_w = aux.kweights if aux is not None else None
+    if cfg.elec_type == ELEC_EWALD and ewald_rk is None:
+        raise ValueError("Ewald deck needs aux.rk/kweights "
+                         "(runtime.setup builds them)")
 
     def local_step(st: SlabState, ff):
         valid = st.gid >= 0
@@ -501,18 +536,35 @@ def make_slab_step(cfg, aux, mesh: Mesh):
         eng_field = jax.lax.psum(eng_field, AXIS)
 
         # --- migration ---
-        st_dict, valid, n_mig, n_lost = _migrate(cfg, n_dev, nloc, M,
-                                                 st_dict, valid)
+        st_dict, valid, n_mig, n_lost, n_defer = _migrate(
+            cfg, n_dev, nloc, M, st_dict, valid)
         mig_total = (st.mig_total
                      + jax.lax.psum(n_mig, AXIS)).astype(jnp.int32)
         mig_lost = (st.mig_lost
                     + jax.lax.psum(n_lost, AXIS)).astype(jnp.int32)
+        mig_defer = (st.mig_defer
+                     + jax.lax.psum(n_defer, AXIS)).astype(jnp.int32)
 
         # --- pair pass on the extended slab ---
-        pfrc, e_vdw, e_coul = _pair_pass(cfg, ff, n_dev, st_dict, valid)
+        pfrc, e_vdw, e_coul, occ = _pair_pass(cfg, ff, n_dev,
+                                              st_dict, valid)
         st_dict["frc"] = st_dict["frc"] + pfrc
         e_vdw = jax.lax.psum(e_vdw, AXIS)
         e_coul = jax.lax.psum(e_coul, AXIS)
+        slab_occ = jnp.maximum(st.slab_occ,
+                               jax.lax.pmax(occ, AXIS)).astype(jnp.int32)
+
+        # --- Ewald reciprocal space: partial S(k) per slab, one psum
+        # (cuElec.cu:151-382; energy is replicated, forces local) ---
+        e_coul2 = jnp.zeros((), fdt)
+        if cfg.elec_type == ELEC_EWALD:
+            from ..ops.elec import ewald_recip
+            charge = jnp.where(valid,
+                               ff.spec_charge[st_dict["types"]], 0.0)
+            frc_r, e_coul2 = ewald_recip(cfg, st_dict["pos"], charge,
+                                         ewald_rk, ewald_w, axis=AXIS)
+            st_dict["frc"] = st_dict["frc"] + \
+                jnp.where(valid[:, None], frc_r, 0.0)
 
         # --- verlet 2 (global kinetic energy) ---
         vel, _ = integ.verlet2(cfg, ff, st_dict["vel"], st_dict["frc"],
@@ -551,11 +603,12 @@ def make_slab_step(cfg, aux, mesh: Mesh):
             eng_temp = jax.lax.psum(et_loc, AXIS)
 
         # --- energies + pressure (replicated scalars) ---
-        pot = e_coul + e_vdw
+        e_coul3 = jnp.asarray(cfg.eng_ewald_const, fdt)
+        pot = e_coul + e_coul2 + e_coul3 + e_vdw
         energies = Energies(
             kin=eng_kin.astype(fdt), vdw=e_vdw.astype(fdt),
             coul1=e_coul.astype(fdt),
-            coul2=jnp.zeros((), fdt), coul3=jnp.zeros((), fdt),
+            coul2=e_coul2.astype(fdt), coul3=e_coul3,
             bond=jnp.zeros((), fdt), angle=jnp.zeros((), fdt),
             temp=eng_temp.astype(fdt), field=eng_field.astype(fdt),
             pot=pot.astype(fdt), tot=(pot + eng_kin).astype(fdt))
@@ -573,6 +626,7 @@ def make_slab_step(cfg, aux, mesh: Mesh):
             mom_buf_pos=buf_p, mom_buf_neg=buf_n, i_mom=i_mom,
             cross_pos=cross_pos, cross_neg=cross_neg,
             mig_total=mig_total, mig_lost=mig_lost,
+            mig_defer=mig_defer, slab_occ=slab_occ,
             rng=rng, chit=chit, consint=consint,
             step=st.step + 1, **st_dict)
 

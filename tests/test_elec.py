@@ -16,7 +16,7 @@ from aztotmd_tpu.ops.elec import ewald_recip, ewald_self_energy, make_kvectors
 
 
 def nacl_system(n_side=2, a=5.64, elec_type=ELEC_EWALD, alpha=0.35,
-                kmax=8, jitter=0.0, seed=0):
+                kmax=8, jitter=0.0, seed=0, r_real=None):
     """Rock-salt lattice of +-1 charges (NaCl, a = 5.64 A)."""
     rng = np.random.default_rng(seed)
     f = FieldSpec()
@@ -51,7 +51,9 @@ def nacl_system(n_side=2, a=5.64, elec_type=ELEC_EWALD, alpha=0.35,
     ctl = ControlSpec(
         t_step=0.001, n_step=5,
         tstat=TStatSpec(type=0, temp=300.0),
-        elec=ElecSpec(type=elec_type, r_real=box / 2 * 0.99, alpha=alpha,
+        elec=ElecSpec(type=elec_type,
+                      r_real=r_real if r_real else box / 2 * 0.99,
+                      alpha=alpha,
                       kx=kmax, ky=kmax, kz=kmax))
     atoms = AtomsData(names=names, pos=pos, box=(box, box, box))
     cfg, ff, state, aux = build_system(ctl, f, atoms, dtype="f64", seed=1)

@@ -71,7 +71,8 @@ def test_domain_decomposition_matches_all_pairs():
     assert float(e_vdw) == pytest.approx(float(pr.eng_vdw), rel=1e-10)
 
 
-def _slab_system(tstat=0, n_atoms=512, steps=None, seed=33, temp=60.0):
+def _slab_system(tstat=0, n_atoms=512, steps=None, seed=33, temp=60.0,
+                 n_dev=4):
     """LJ argon on a block grid with ncx divisible by 4 (slab mode)."""
     import dataclasses
     from aztotmd_tpu.ops.cellblock import make_block_grid
@@ -81,14 +82,19 @@ def _slab_system(tstat=0, n_atoms=512, steps=None, seed=33, temp=60.0):
                                          temp=temp, tstat=tstat)
     grid = make_block_grid(cfg.box, cfg.r_max, cfg.n_at)
     ncx = max((grid.dims[0] // 4) * 4, 4)
+    # density-based cap (4) is exceeded by thermal fluctuations on this
+    # small box (occupancy reaches ~8); both the block engine and the
+    # slab pass drop rank>=cap atoms, and once migration reorders slots
+    # the DROPPED VICTIMS differ — trajectory-exactness needs headroom
     grid = dataclasses.replace(grid, dims=(ncx,) + grid.dims[1:],
-                               edge=(cfg.box[0] / ncx,) + grid.edge[1:])
+                               edge=(cfg.box[0] / ncx,) + grid.edge[1:],
+                               cap=12)
     cfg = dataclasses.replace(cfg, grid=grid, pair_engine="block")
     # park one lattice plane exactly on a slab boundary so thermal
     # motion carries atoms across within a short run (migration test)
     pos = np.asarray(state.pos)
     xs = np.unique(np.round(pos[:, 0], 6))
-    bound = cfg.box[0] / 4
+    bound = cfg.box[0] / n_dev
     shift = bound - xs[len(xs) // 2]
     pos = (pos + np.array([shift, 0.0, 0.0])) % np.asarray(cfg.box)
     state = state.replace(pos=jax.numpy.asarray(pos),
@@ -126,6 +132,81 @@ def test_slab_step_matches_single_device_nve():
         float(ref.energies.tot), rel=1e-8)
     assert float(out.energies.kin) == pytest.approx(
         float(ref.energies.kin), rel=1e-8)
+
+
+def test_slab_two_device_mesh_migrates_without_duplication():
+    """n_dev==2 is the degenerate ring (left neighbor == right
+    neighbor): crossers must be exchanged exactly once, not once per
+    direction (the double-insert bug)."""
+    from aztotmd_tpu.parallel import slab
+    from aztotmd_tpu.runtime.step import make_multi_step
+
+    cfg, ff, state, aux = _slab_system(n_atoms=256, n_dev=2)
+    # ncx is already a multiple of 4, hence of 2
+    mesh = make_mesh(2, axis="x")
+
+    multi = make_multi_step(cfg, aux)
+    ref = multi(state, ff, 100)
+
+    sstate = slab.make_slab_state(cfg, state, mesh)
+    smulti = slab.make_slab_multi_step(cfg, aux, mesh)
+    out = smulti(sstate, ff, 100)
+
+    gid = np.asarray(out.gid)
+    live = gid[gid >= 0]
+    # every atom exactly once — duplication or loss both fail here
+    assert len(live) == cfg.n_at
+    assert len(np.unique(live)) == cfg.n_at
+    assert int(out.mig_total) > 0
+    assert int(out.mig_lost) == 0
+    g = slab.gather_state(out, cfg.n_at)
+    np.testing.assert_allclose(g["pos"], np.asarray(ref.pos),
+                               rtol=0, atol=1e-7)
+
+
+def test_slab_single_device_rejected():
+    from aztotmd_tpu.parallel import slab
+    cfg, ff, state, aux = _slab_system(n_atoms=64)
+    with pytest.raises(ValueError, match=">= 2 devices"):
+        slab.check_slab_cfg(cfg, 1)
+
+
+def test_slab_ewald_matches_single_device():
+    """Charged deck in slab mode: real-space erfc via the halo pair pass
+    + psum'd reciprocal S(k) must reproduce the single-device Ewald
+    trajectory (cuElec.cu:151-382 semantics on a mesh)."""
+    import dataclasses
+    from aztotmd_tpu.ops.cellblock import make_block_grid
+    from aztotmd_tpu.parallel import slab
+    from aztotmd_tpu.runtime.step import make_multi_step
+    from test_elec import nacl_system
+
+    cfg, ff, state, aux = nacl_system(n_side=4, kmax=6, jitter=0.3,
+                                      seed=5, r_real=5.0, alpha=0.45)
+    # slab-compatible grid: cell edge >= cutoff, ncx divisible by 4
+    grid = make_block_grid(cfg.box, cfg.r_max, cfg.n_at)
+    ncx = max((grid.dims[0] // 4) * 4, 4)
+    grid = dataclasses.replace(grid, dims=(ncx,) + grid.dims[1:],
+                               edge=(cfg.box[0] / ncx,) + grid.edge[1:])
+    cfg = dataclasses.replace(cfg, grid=grid, pair_engine="block")
+    mesh = make_mesh(4, axis="x")
+
+    multi = make_multi_step(cfg, aux)
+    ref = multi(state, ff, 20)
+
+    sstate = slab.make_slab_state(cfg, state, mesh)
+    smulti = slab.make_slab_multi_step(cfg, aux, mesh)
+    out = smulti(sstate, ff, 20)
+
+    g = slab.gather_state(out, cfg.n_at)
+    np.testing.assert_allclose(g["pos"], np.asarray(ref.pos),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(g["vel"], np.asarray(ref.vel),
+                               rtol=0, atol=1e-7)
+    assert float(out.energies.coul2) == pytest.approx(
+        float(ref.energies.coul2), rel=1e-9)
+    assert float(out.energies.tot) == pytest.approx(
+        float(ref.energies.tot), rel=1e-8)
 
 
 def test_slab_step_radiative_thermostat_matches():
