@@ -37,6 +37,10 @@ def main(argv=None):
     r.add_argument("--profile", default=None, metavar="LOG_DIR",
                    help="capture a JAX profiler trace into LOG_DIR and "
                         "print per-stage timings")
+    r.add_argument("--no-bond-equil-hack", action="store_true",
+                   help="disable the reference's reactive-bond "
+                        "velocity-zeroing equilibration hack "
+                        "(cuBonds.cu:622-627)")
 
     b = sub.add_parser("bench", help="benchmark a deck (steps/sec)")
     b.add_argument("deck")
@@ -50,6 +54,10 @@ def main(argv=None):
         from .runtime.runner import MDRunner
         from .runtime.setup import load_deck_dir
         sysd = load_deck_dir(args.deck, dtype=args.dtype, seed=args.seed)
+        if args.no_bond_equil_hack:
+            import dataclasses
+            sysd["cfg"] = dataclasses.replace(sysd["cfg"],
+                                              bond_equil_hack=False)
         if args.resume:
             from .runtime.checkpoint import load_checkpoint
             sysd["state"] = load_checkpoint(args.resume, sysd["state"])

@@ -184,6 +184,10 @@ class SimConfig:
     use_radii: bool = False     # any radius-dependent potential present
     n_bond_types: int = 0
     n_angle_types: int = 0
+    # the reference zeroes velocities of reactive-bonded atoms near
+    # force equilibrium ("temporary" equilibration hack,
+    # cuBonds.cu:622-627); deck/CLI-visible for reproducibility
+    bond_equil_hack: bool = True
 
     # cutoffs
     r_max: float = 0.0          # global pair cutoff (sys_init.cpp:1060-1072)

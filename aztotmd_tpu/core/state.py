@@ -111,6 +111,10 @@ class MDState:
     # outer level of the two-level Verlet list (cfg.nb_outer > 1)
     nbr2_idx: jax.Array     # (N, max(n_neigh2, 1)) int32 (sentinel N)
     nbr2_over: jax.Array    # int32 max outer neighbor count seen
+    rdf_over: jax.Array     # int32 max RDF-list neighbor count seen
+    #                         (ring mode builds an (N, k_cap) list per
+    #                         stat period; counts beyond k_cap would be
+    #                         silently truncated without this monitor)
 
     # --- bookkeeping ---
     touched: jax.Array      # (N,) bool: atom's type/topology changed this
@@ -231,7 +235,7 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
         nbr_ref=pos + np.asarray(1e9, npdt),
         nbr_over=i0(), nbr_viol=i0(),
         nbr2_idx=np.full((N, max(cfg.n_neigh2, 1)), N, np.int32),
-        nbr2_over=i0(),
+        nbr2_over=i0(), rdf_over=i0(),
         touched=np.zeros((N,), bool),
         rng=rng0,
         step=i0(), cell_overflow=i0(),

@@ -32,9 +32,8 @@ from ..io.field import (BOND_BUCK, BOND_E612, BOND_HARM, BOND_MORSE,
 from .pairs import min_image
 
 # the reference zeroes velocities of reactive-bonded atoms near force
-# equilibrium ("temporary" equilibration hack, cuBonds.cu:622-627); kept
-# reproducible behind this module flag
-BOND_EQUIL_HACK = True
+# equilibrium ("temporary" equilibration hack, cuBonds.cu:622-627);
+# controlled by cfg.bond_equil_hack (deck/CLI-visible switch)
 
 
 def bond_eval(kind, p, r2, r, kinds=()):
@@ -264,7 +263,7 @@ def apply_bonds(cfg, ff, state):
     bt_r_count = state.bt_r_count.at[stat_idx].add(live.astype(jnp.int32))
     state = state.replace(frc=frc, bt_r_sum=bt_r_sum, bt_r_count=bt_r_count)
 
-    if cfg.use_bnd == 2 and BOND_EQUIL_HACK:
+    if cfg.use_bnd == 2 and cfg.bond_equil_hack:
         # zero the velocities of near-equilibrium reactive bond partners
         calm = live & (f > -0.1) & (f < 0.1)
         vmask = jnp.zeros((N,), bool)

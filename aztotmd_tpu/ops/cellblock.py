@@ -247,6 +247,12 @@ def pair_forces_block(cfg, ff, pos, types, radii=None, parents=None,
 
     if want_jump:
         don_i = (ff.spec_donacc[ti] & 1).astype(bool) & vi
+        # pure-acceptor rows track their nearest DONOR so the jmp_oft
+        # extra passes can let a freshly-reduced atom donate back
+        # (pairs._jump_candidates semantics, per-role argmins)
+        accrow_i = (ff.spec_donacc[ti] & 2).astype(bool) & vi & ~don_i
+        jmpa_r2b = jnp.full((cap, n_cell), big, dt)
+        jmpa_idb = jnp.full((cap, n_cell), N, jnp.int32)
 
     for off in grid.stencil:
         # self-cell class: any offset that is ≡ 0 mod dims (covers tiny
@@ -334,17 +340,27 @@ def pair_forces_block(cfg, ff, pos, types, radii=None, parents=None,
 
         if want_jump:
             acc_j = (ff.spec_donacc[tj] & 2).astype(bool) & vj
-            can = don_i[:, None, :] & acc_j[None, :, :] & mask \
-                & (r2 <= cfg.r2_elec)
-            r2m = jnp.where(can, r2, big)
-            j = jnp.argmin(r2m, axis=1)
-            best = jnp.take_along_axis(r2m, j[:, None, :], axis=1)[:, 0, :]
-            jid = jnp.take_along_axis(
-                jnp.broadcast_to(aidj[None, :, :], r2m.shape),
-                j[:, None, :], axis=1)[:, 0, :]
-            better = best < jump_r2b
-            jump_r2b = jnp.where(better, best, jump_r2b)
-            jump_idb = jnp.where(better, jid, jump_idb)
+            don_j = (ff.spec_donacc[tj] & 1).astype(bool) & vj
+            in_rng = mask & (r2 <= cfg.r2_elec)
+
+            def tile_min(can, r2b, idb):
+                r2m = jnp.where(can, r2, big)
+                j = jnp.argmin(r2m, axis=1)
+                best = jnp.take_along_axis(
+                    r2m, j[:, None, :], axis=1)[:, 0, :]
+                jid = jnp.take_along_axis(
+                    jnp.broadcast_to(aidj[None, :, :], r2m.shape),
+                    j[:, None, :], axis=1)[:, 0, :]
+                better = best < r2b
+                return (jnp.where(better, best, r2b),
+                        jnp.where(better, jid, idb))
+
+            jump_r2b, jump_idb = tile_min(
+                don_i[:, None, :] & acc_j[None, :, :] & in_rng,
+                jump_r2b, jump_idb)
+            jmpa_r2b, jmpa_idb = tile_min(
+                accrow_i[:, None, :] & don_j[None, :, :] & in_rng,
+                jmpa_r2b, jmpa_idb)
 
     # unsort: per-atom values via the inverse permutation (N-row gather)
     soa = B["slot_of_atom"]
@@ -363,6 +379,11 @@ def pair_forces_block(cfg, ff, pos, types, radii=None, parents=None,
         bind_idx = jnp.full((N,), N, jnp.int32)
         bind_r2 = jnp.full((N,), big, dt)
     if want_jump:
+        # donor rows carry their nearest-acceptor entry; pure-acceptor
+        # rows their nearest-donor entry (accrow_i and don_i are
+        # disjoint, so a plain min-merge combines them)
+        jump_idb = jnp.where(jmpa_r2b < jump_r2b, jmpa_idb, jump_idb)
+        jump_r2b = jnp.minimum(jump_r2b, jmpa_r2b)
         jump_idx = unsort(jump_idb, N)
         jump_r2 = unsort(jump_r2b, big)
     else:

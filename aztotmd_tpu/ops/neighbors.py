@@ -171,19 +171,12 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
         bind_r2 = jnp.full((N,), big, dt)
 
     if want_jump:
-        # symmetric compatibility: also record, for each acceptor, its
-        # nearest donor — the oft schedule's extra passes (jmp_oft,
-        # ejump.cpp:599-609) re-validate roles against the mutated types
-        # in do_jumps, so a freshly-reduced atom can donate back.  For a
-        # pure donor row this adds no candidates (matches try_to_jump,
-        # cuEjump.cu:39-76).
-        don_i = (ff.spec_donacc[types] & 1).astype(bool)[:, None]
-        acc_j = (ff.spec_donacc[tj] & 2).astype(bool)
-        acc_i = (ff.spec_donacc[types] & 2).astype(bool)[:, None]
-        don_j = (ff.spec_donacc[tj] & 1).astype(bool)
-        can = ((don_i & acc_j) | (acc_i & don_j)) & valid \
-            & (r2 <= cfg.r2_elec)
-        jump_idx, jump_r2 = _row_argmin(cand, r2, can, N)
+        # per-role argmins (nearest acceptor for a donor row, nearest
+        # donor for a pure-acceptor row) — see pairs._jump_candidates
+        from .pairs import _jump_candidates
+        jump_idx, jump_r2 = _jump_candidates(cfg, ff, types, tj, cand,
+                                             r2, valid)
+        jump_r2 = jump_r2.astype(dt)
     else:
         jump_idx = jnp.full((N,), N, jnp.int32)
         jump_r2 = jnp.full((N,), big, dt)

@@ -147,19 +147,8 @@ def pair_forces(cfg, ff, pos, types, radii=None, parents=None,
 
     # --- e-jump candidates (try_to_jump, cuEjump.cu:39-76) ---
     if want_jump:
-        # symmetric compatibility: also record, for each acceptor, its
-        # nearest donor — the oft schedule's extra passes (jmp_oft,
-        # ejump.cpp:599-609) re-validate roles against the mutated types
-        # in do_jumps, so a freshly-reduced atom can donate back.  For a
-        # pure donor row this adds no candidates (matches try_to_jump,
-        # cuEjump.cu:39-76).
-        don_i = (ff.spec_donacc[types] & 1).astype(bool)[:, None]
-        acc_j = (ff.spec_donacc[tj] & 2).astype(bool)
-        acc_i = (ff.spec_donacc[types] & 2).astype(bool)[:, None]
-        don_j = (ff.spec_donacc[tj] & 1).astype(bool)
-        can = ((don_i & acc_j) | (acc_i & don_j)) & valid \
-            & (r2 <= cfg.r2_elec)
-        jump_idx, jump_r2 = _row_argmin(cand, r2, can, N)
+        jump_idx, jump_r2 = _jump_candidates(cfg, ff, types, tj, cand,
+                                             r2, valid)
     else:
         jump_idx = jnp.full((N,), N, jnp.int32)
         jump_r2 = jnp.full((N,), jnp.inf, dt)
@@ -168,6 +157,28 @@ def pair_forces(cfg, ff, pos, types, radii=None, parents=None,
                       max_occ=max_occ,
                       bind_idx=bind_idx, bind_r2=bind_r2,
                       jump_idx=jump_idx, jump_r2=jump_r2)
+
+
+def _jump_candidates(cfg, ff, types, tj, cand, r2, valid):
+    """Per-role e-jump candidate selection (try_to_jump semantics,
+    cuEjump.cu:39-76): a donor row stores its nearest ACCEPTOR — one
+    combined argmin over both directions could return a nearest
+    non-acceptor donor for a dual-role species, which then fails
+    do_jumps' acceptor check and blocks a jump the reference performs.
+    A pure-acceptor row stores its nearest donor so the jmp_oft extra
+    passes (ejump.cpp:599-609), which re-validate roles against the
+    mutated types in do_jumps, let a freshly-reduced atom donate back.
+    """
+    N = types.shape[0]
+    don_i = (ff.spec_donacc[types] & 1).astype(bool)
+    acc_i = (ff.spec_donacc[types] & 2).astype(bool)
+    acc_j = (ff.spec_donacc[tj] & 2).astype(bool)
+    don_j = (ff.spec_donacc[tj] & 1).astype(bool)
+    rng = valid & (r2 <= cfg.r2_elec)
+    idx_d, r2_d = _row_argmin(cand, r2, don_i[:, None] & acc_j & rng, N)
+    idx_a, r2_a = _row_argmin(cand, r2, acc_i[:, None] & don_j & rng, N)
+    return (jnp.where(don_i, idx_d, idx_a),
+            jnp.where(don_i, r2_d, r2_a))
 
 
 def _row_argmin(cand, r2, mask, sentinel):

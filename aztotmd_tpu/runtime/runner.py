@@ -282,7 +282,14 @@ class MDRunner:
             def stat_block(s, h, nh, ff):
                 if fuse_rdf:
                     if use_list:
-                        nbr, _, _ = build_neighbors(lcfg, s.pos)
+                        nbr, nmax_rdf, _ = build_neighbors(lcfg, s.pos)
+                        # counts beyond k_cap are silently truncated
+                        # (first-K in candidate order, NOT nearest) and
+                        # when rdf_covers_outer the pair-force outer
+                        # list is refined FROM this list — monitor so
+                        # _check_overflow can grow k_cap and rebuild
+                        s = s.replace(rdf_over=jax.numpy.maximum(
+                            s.rdf_over, nmax_rdf))
                     if rdf_covers_outer:
                         idx2, nmax2 = refine_neighbors(ocfg_view,
                                                        s.pos, nbr)
@@ -493,7 +500,8 @@ class MDRunner:
                  st.spec_number, st.cross_pos, st.cross_neg, st.n_bond,
                  st.bt_count, st.bt_r_mean, st.bt_lt_mean, st.n_jump,
                  st.jump_pos, st.jump_neg, st.pos[0, 0],
-                 (st.cell_overflow, st.nbr_over, st.nbr_viol)))
+                 (st.cell_overflow, st.nbr_over, st.nbr_viol,
+                  st.rdf_over)))
             eng = {k: float(getattr(E, k)) for k in
                    ("tot", "kin", "vdw", "coul1", "coul2", "bond",
                     "angle", "temp")}
@@ -511,7 +519,8 @@ class MDRunner:
             if not self.quiet:
                 self._console(step, eng, float(pos0_row),
                               float(pressure), int(n_bond))
-            self._check_overflow(int(over[0]), int(over[1]), int(over[2]))
+            self._check_overflow(int(over[0]), int(over[1]), int(over[2]),
+                                 int(over[3]))
         self._sample_rest(step)
 
     def _sample_rest(self, step: int):
@@ -584,7 +593,8 @@ class MDRunner:
             parts.append(f"U={eng['temp']:.3G}")
         print(" ".join(parts), flush=True)
 
-    def _check_overflow(self, occ=None, nbr_over=None, nbr_viol=None):
+    def _check_overflow(self, occ=None, nbr_over=None, nbr_viol=None,
+                        rdf_over=None):
         """Monitored rebucket path: the reference corrupts memory on cell
         overflow (cuMDfunc.cu:264-265); we detect and rebuild.  The
         counters arrive pre-fetched from the batched sample pull."""
@@ -628,6 +638,20 @@ class MDRunner:
                         nbr2_idx=jax.numpy.asarray(pad2),
                         nbr_ref=self.state.nbr_ref + 1e9)
                     self._build_programs()
+        # ring-mode RDF list capacity (first-K truncation would silently
+        # drop in-range pairs — and pair forces too when the outer
+        # Verlet list is refined from it)
+        if self.rcfg is not None and self.rcfg.k_cap > 0:
+            rover = int(self.state.rdf_over) if rdf_over is None \
+                else rdf_over
+            if rover > self.rcfg.k_cap:
+                from ..core.config import _round_up
+                new_k = _round_up(rover + max(8, rover // 4), 8)
+                print(f"WARNING: RDF-list neighbor count {rover} exceeded "
+                      f"capacity {self.rcfg.k_cap}; rebuilding with "
+                      f"k_cap={new_k}", file=sys.stderr)
+                self.rcfg = dataclasses.replace(self.rcfg, k_cap=new_k)
+                self._build_programs()
         # cell_overflow tracks the NB grid in neighbor mode, the main
         # grid otherwise — compare against the right capacity
         g = (self.cfg.nb_grid if self.cfg.pair_engine == "neighbor"

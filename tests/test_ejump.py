@@ -220,3 +220,52 @@ def test_ejump_matches_numpy_oracle_multielectron():
         assert int(state.jump_pos) == tp
         assert int(state.jump_neg) == tn
     assert tot >= 3      # the deck must actually exercise several jumps
+
+
+def test_dual_role_species_jumps_past_nearer_donor():
+    """A dual-role (donor+acceptor) species must target its nearest
+    ACCEPTOR, even when a donor sits closer: a combined argmin over
+    both role directions would return the nearer donor, which then
+    fails do_jumps' acceptor check and silently blocks a jump the
+    reference's try_to_jump (nearest acceptor only, cuEjump.cu:39-76)
+    would perform."""
+    from aztotmd_tpu.io.control import JUMP_EQ
+    fld = parse_field("""
+spec 5
+X2\tX\t55.8\t2.0\t0.0
+X3\tX\t55.8\t3.0\t10.0
+Fe2\tFe\t55.8\t2.0\t0.0
+Fe3\tFe\t55.8\t3.0\t0.0
+Fe4\tFe\t55.8\t4.0\t0.0
+red-ox 2
+3 Fe4 Fe3 Fe2
+2 X3 X2
+vdw 1
+Fe2\tFe2\tlnjs\t4.0\t0.005\t2.2
+""")
+    # Fe3 sits mid-chain: donor (-> Fe4) AND acceptor (-> Fe2)
+    assert fld.species[3].donacc == 3
+    # A = dual-role Fe3; B = donor X2 at 1.0 A (the decoy, whose own
+    # jump is energetically forbidden: dU = +10 outside the eq window);
+    # C = acceptor Fe4 at 1.8 A (the correct target, dU = 0)
+    pos = np.array([[3.0, 3.0, 3.0],     # A Fe3
+                    [2.0, 3.0, 3.0],     # B X2
+                    [4.8, 3.0, 3.0]])    # C Fe4
+    names = ["Fe3", "X2", "Fe4"]
+    ctl = ControlSpec(t_step=0.0001, n_step=1,
+                      tstat=TStatSpec(type=0, temp=300.0),
+                      elec=ElecSpec(type=ELEC_DIRECT, r_real=6.0))
+    ctl.ejump = 1
+    ctl.ejtype = JUMP_EQ
+    ctl.d_ejump = 1.0
+    ctl.r_elec = 2.0
+    atoms = AtomsData(names=names, pos=pos, box=(12.0, 12.0, 12.0))
+    cfg, ff, state, aux = build_system(ctl, fld, atoms, dtype="f64",
+                                       seed=7)
+    step = jax.jit(make_step(cfg, aux))
+    s1 = step(state, ff)
+    types1 = np.asarray(s1.types)
+    assert int(s1.n_jump) == 1
+    assert types1[0] == 4        # A oxidized Fe3 -> Fe4
+    assert types1[2] == 3        # C reduced Fe4 -> Fe3
+    assert types1[1] == 0        # the decoy donor untouched
