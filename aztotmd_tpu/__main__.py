@@ -37,6 +37,9 @@ def main(argv=None):
     r.add_argument("--profile", default=None, metavar="LOG_DIR",
                    help="capture a JAX profiler trace into LOG_DIR and "
                         "print per-stage timings")
+    r.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="run slab-decomposed over an N-device mesh "
+                        "(parallel/slab.py); non-reactive decks only")
     r.add_argument("--no-bond-equil-hack", action="store_true",
                    help="disable the reference's reactive-bond "
                         "velocity-zeroing equilibration hack "
@@ -67,7 +70,8 @@ def main(argv=None):
                           checkpoint_every=args.checkpoint_every,
                           profile=args.profile is not None,
                           debug=args.debug,
-                          append=args.resume is not None)
+                          append=args.resume is not None,
+                          mesh_devices=args.mesh)
         if args.profile:
             from .utils import trace
             with trace(args.profile):

@@ -322,6 +322,17 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
                                pos=pos,
                                hint_edge=ctl.cell_size
                                if ctl.use_clist else 0.0)
+        if pair_engine == "block":
+            # clustered decks (case study 2): every cell decomposition
+            # overcounts the dense core (cap^2 per stencil offset); the
+            # fused dense O(N^2) Pallas kernel wins outright when padded
+            # N^2 undercuts the modeled block cost (~20x at cs2's 4k
+            # atoms in a 21 A cluster)
+            block_cost = (len(grid.stencil) * grid.cap * grid.cap
+                          * grid.dims[0] * grid.dims[1] * grid.dims[2])
+            n_pad = _round_up(n_at, 512)
+            if n_pad * n_pad < block_cost:
+                pair_engine = "pallas"
     else:
         grid = make_cell_grid(box, r_max, n_at,
                               target_occupancy=target_occupancy,

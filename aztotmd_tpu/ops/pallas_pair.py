@@ -218,6 +218,226 @@ def _pair_kernel(cfg, S, cap, chunk, nsp, use_coul, use_radii,
     ec_ref[:, :, :] = jnp.full((1, 8, 128), ec, f32)
 
 
+def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
+                     params_ref,
+                     xi_ref, yi_ref, zi_ref, vi_ref, ti_ref, ri_ref,
+                     xj_ref, yj_ref, zj_ref, vj_ref, tj_ref, rj_ref,
+                     fx_ref, fy_ref, fz_ref, ev_ref, ec_ref):
+    """One (T_i, T_j) tile of the dense O(N^2) pair pass.
+
+    The j grid axis is innermost, so the (1, T) output rows for tile i
+    stay VMEM-resident while every j tile streams past — the classic
+    flash-attention-style accumulation (reference all_pair kernel:
+    cuPairs.cu:220-270, redesigned for the VPU instead of a thread per
+    atom)."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # i-side blocks are (T, 1) columns, j-side (1, T) rows — the
+    # outer-product broadcast gives the (T, T) tile with no transposes,
+    # and lane-axis sums land back in the (T, 1) output layout
+    dx = xi_ref[0] - xj_ref[0]
+    dy = yi_ref[0] - yj_ref[0]
+    dz = zi_ref[0] - zj_ref[0]
+    # min-image (box can be smaller than 2*rcut only for tiny decks the
+    # dispatcher sends elsewhere)
+    bx, by, bz = (f32(cfg.box[k]) for k in range(3))
+    dx = dx - bx * jnp.round(dx * f32(1.0 / cfg.box[0]))
+    dy = dy - by * jnp.round(dy * f32(1.0 / cfg.box[1]))
+    dz = dz - bz * jnp.round(dz * f32(1.0 / cfg.box[2]))
+    r2 = dx * dx + dy * dy + dz * dz
+
+    vm = vi_ref[0] * vj_ref[0]
+    # self-pair exclusion by GLOBAL slot index (only the diagonal tile
+    # can hit it, but the compare is cheap enough to apply everywhere)
+    gi = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    gj = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    vm = jnp.where(gi == gj, 0.0, vm)
+    inr = jnp.where(r2 <= f32(cfg.r2_max), vm, 0.0)
+
+    r2s = jnp.where(inr > 0.0, r2, 1.0)
+    ri = jax.lax.rsqrt(r2s)
+    r2i = ri * ri
+    rr = r2s * ri
+
+    if use_radii:
+        rai = ri_ref[0]
+        raj = rj_ref[0]
+    ti = ti_ref[0] if nsp > 1 else None
+    tj = tj_ref[0] if nsp > 1 else None
+
+    kind_tab = cfg.vdw_kind_table
+    fsum = jnp.zeros((T, T), f32)
+    ev = jnp.zeros((T, 1), f32)
+    ec = jnp.zeros((T, 1), f32)
+    for a in range(nsp):
+        for b in range(nsp):
+            kind = kind_tab[a][b]
+            row = a * nsp + b
+            need_vdw = kind != 0
+            if not (need_vdw or use_coul):
+                continue
+            pm = inr if nsp == 1 else \
+                jnp.where((ti == a) & (tj == b), inr, 0.0)
+            # every unordered pair is visited in both (i,j) orders ->
+            # energy weight 0.5; the row force takes the full term
+            if need_vdw:
+                p = [params_ref[row, k] for k in range(5)]
+                r2cut = params_ref[row, 6]
+                vdw_m = jnp.where(r2 <= r2cut, pm, 0.0)
+                fv, e_v = _vdw_pair(
+                    kind, r2i, ri, rr, p,
+                    ra=rai if use_radii else None,
+                    rb=raj if use_radii else None)
+                fsum = fsum + vdw_m * fv
+                ev = ev + 0.5 * jnp.sum(vdw_m * e_v, axis=1,
+                                        keepdims=True)
+            if use_coul:
+                kqq = params_ref[row, 5]
+                fc, e_c = _coul_pair(cfg, r2i, ri, rr, kqq)
+                fsum = fsum + pm * fc
+                ec = ec + 0.5 * jnp.sum(pm * e_c, axis=1,
+                                        keepdims=True)
+
+    fsum = jnp.clip(fsum, -MX_FRC, MX_FRC)
+
+    @pl.when(j == 0)
+    def _():
+        fx_ref[0] = jnp.zeros((T, 1), f32)
+        fy_ref[0] = jnp.zeros((T, 1), f32)
+        fz_ref[0] = jnp.zeros((T, 1), f32)
+        ev_ref[0] = jnp.zeros((T, 1), f32)
+        ec_ref[0] = jnp.zeros((T, 1), f32)
+
+    fx_ref[0] += jnp.sum(fsum * dx, axis=1, keepdims=True)
+    fy_ref[0] += jnp.sum(fsum * dy, axis=1, keepdims=True)
+    fz_ref[0] += jnp.sum(fsum * dz, axis=1, keepdims=True)
+    ev_ref[0] += ev
+    ec_ref[0] += ec
+
+
+def allpairs_cost(cfg) -> int:
+    """Modeled slot-pair count of the dense tiled kernel (for the
+    engine cost comparison against stencil * cap^2 * n_cell)."""
+    T = 512
+    n_pad = _round_up_int(cfg.n_at, T)
+    return n_pad * n_pad
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pair_forces_allpairs(cfg, ff, pos, types, radii=None,
+                         interpret: bool | None = None,
+                         tile: int = 512) -> PairResult:
+    """Dense tiled O(N^2) Pallas pair pass — the winner for CLUSTERED
+    decks (case study 2: ~0.43 atoms/A^3 core), where every cell
+    decomposition overcounts: the block engine's stencil*cap^2*n_cell
+    is ~20x the padded N^2 at 4k atoms, and Verlet lists degenerate
+    (K ~ 1600, gather-bound).  No binning, no gathers, no overflow
+    monitors — pure regular VPU tiles.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = cfg.n_at
+    dt = pos.dtype
+    nsp = cfg.n_spec
+    f32 = jnp.float32
+    T = min(tile, _round_up_int(N, 128))
+    n_pad = _round_up_int(N, T)
+    n_t = n_pad // T
+    padn = n_pad - N
+
+    def flat(a, fill=0.0, dtype=f32):
+        a = a.astype(dtype)
+        if padn:
+            a = jnp.concatenate([a, jnp.full((padn,), fill, dtype)])
+        return a
+
+    # i-side (T, 1) column blocks, j-side (1, T) row blocks (see the
+    # kernel docstring: no transposes, lane sums land in (T, 1))
+    def cols(a):
+        return a.reshape(n_t, T, 1)
+
+    def rows(a):
+        return a.reshape(n_t, 1, T)
+
+    xs = flat(pos[:, 0])
+    ys = flat(pos[:, 1])
+    zs = flat(pos[:, 2])
+    vm = flat(jnp.ones((N,), f32))
+    use_radii = bool(cfg.use_radii and radii is not None)
+    rad = flat(radii, 1.0) if use_radii else None
+    ts = flat(types, 0, jnp.int32) if nsp > 1 else None
+
+    prm = jnp.zeros((nsp * nsp, 8), f32)
+    prm = prm.at[:, 0:5].set(ff.vdw_p.reshape(-1, 5).astype(f32))
+    prm = prm.at[:, 5].set((ff.chprod.reshape(-1)
+                            * cfg.coul_scale).astype(f32))
+    prm = prm.at[:, 6].set(ff.vdw_r2cut.reshape(-1).astype(f32))
+    use_coul = cfg.elec_type != ELEC_NONE
+
+    ispec = lambda: pl.BlockSpec((1, T, 1), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    jspec = lambda: pl.BlockSpec((1, 1, T), lambda i, j: (j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    ospec = lambda: pl.BlockSpec((1, T, 1), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    ins, in_specs = [prm], [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    for shape, spec in ((cols, ispec), (rows, jspec)):
+        ins += [shape(xs), shape(ys), shape(zs), shape(vm)]
+        in_specs += [spec() for _ in range(4)]
+        if nsp > 1:
+            ins.append(shape(ts))
+            in_specs.append(spec())
+        if use_radii:
+            ins.append(shape(rad))
+            in_specs.append(spec())
+
+    def kern(params_ref, *refs):
+        half = len(refs) - 5
+        assert half % 2 == 0
+        half //= 2
+
+        def unpack(rs):
+            rs = list(rs)
+            x, y, z, v = rs[:4]
+            t = rs[4] if nsp > 1 else None
+            r = rs[-1] if use_radii else None
+            return x, y, z, v, t, r
+        iside = unpack(refs[:half])
+        jside = unpack(refs[half:2 * half])
+        outs = refs[2 * half:]
+        _allpairs_kernel(cfg, T, nsp, use_coul, use_radii, params_ref,
+                         *iside, *jside, *outs)
+
+    out_shape = [jax.ShapeDtypeStruct((n_t, T, 1), f32)
+                 for _ in range(5)]
+    out_specs = [ospec() for _ in range(5)]
+    fx, fy, fz, ev, ec = pl.pallas_call(
+        kern,
+        grid=(n_t, n_t),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+
+    frc = jnp.stack([fx.reshape(-1)[:N], fy.reshape(-1)[:N],
+                     fz.reshape(-1)[:N]], axis=1).astype(dt)
+    big = jnp.asarray(jnp.inf, dt)
+    z = jnp.full((N,), N, jnp.int32)
+    zr = jnp.full((N,), big, dt)
+    return PairResult(frc=frc,
+                      eng_vdw=jnp.sum(ev).astype(dt),
+                      eng_coul=jnp.sum(ec).astype(dt),
+                      max_occ=jnp.zeros((), jnp.int32),
+                      bind_idx=z, bind_r2=zr, jump_idx=z, jump_r2=zr)
+
+
 def pair_forces_pallas(cfg, ff, pos, types, radii=None, parents=None,
                        want_bind: bool = False,
                        want_jump: bool = False,
@@ -225,6 +445,14 @@ def pair_forces_pallas(cfg, ff, pos, types, radii=None, parents=None,
                        interpret: bool | None = None) -> PairResult:
     """Pallas fast path; falls back to the XLA block engine for reactive
     decks (bind/jump candidate registration)."""
+    if not (want_bind or want_jump):
+        # dense/clustered decks: the tiled O(N^2) kernel beats any cell
+        # decomposition when padded N^2 is below the modeled block cost
+        g = cfg.grid
+        block_cost = len(g.stencil) * g.cap * g.cap * g.n_cell
+        if allpairs_cost(cfg) < block_cost:
+            return pair_forces_allpairs(cfg, ff, pos, types, radii=radii,
+                                        interpret=interpret)
     if want_bind or want_jump or min(cfg.grid.dims) < 3 \
             or any(abs(o) > 1 for off in cfg.grid.stencil for o in off):
         # reactive candidate registration, tiny aliased grids, and

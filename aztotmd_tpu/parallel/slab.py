@@ -121,6 +121,34 @@ def check_slab_cfg(cfg, n_dev: int):
                          "atom-sharded (parallel/mesh.py)")
 
 
+def prepare_slab_cfg(cfg, n_dev: int):
+    """Return a cfg whose grid satisfies the slab constraints: 27-point
+    block stencil (cell edge >= cutoff), ncx divisible by n_dev.  The
+    runner calls this when `run --mesh N` is requested, whatever engine
+    the deck auto-selected."""
+    import dataclasses
+    from ..ops.cellblock import make_block_grid
+
+    grid = cfg.grid
+    ok = (grid is not None and min(grid.dims) >= 3
+          and not any(abs(o) > 1 for off in grid.stencil for o in off))
+    if not ok:
+        grid = make_block_grid(cfg.box, cfg.r_max, cfg.n_at)
+    ncx = grid.dims[0]
+    if ncx % n_dev:
+        ncx = max((ncx // n_dev) * n_dev, n_dev)
+        if cfg.box[0] / ncx < cfg.r_max:
+            raise ValueError(
+                f"box x ({cfg.box[0]} A) cannot host {n_dev} slabs of "
+                f"cell edge >= {cfg.r_max} A")
+        grid = dataclasses.replace(
+            grid, dims=(ncx,) + grid.dims[1:],
+            edge=(cfg.box[0] / ncx,) + grid.edge[1:])
+    cfg = dataclasses.replace(cfg, grid=grid, pair_engine="block")
+    check_slab_cfg(cfg, n_dev)
+    return cfg
+
+
 def state_specs(mesh: Mesh):
     """PartitionSpec pytree for SlabState: slot arrays split over the
     slab axis, scalars replicated."""
@@ -209,12 +237,12 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
 
 def gather_state(sstate: SlabState, n_at: int):
     """Host-side: reassemble per-atom arrays in global-id order.
-    Returns dict of numpy arrays (pos, vel, engs, radii, types)."""
+    Returns dict of numpy arrays (pos, vel, frc, engs, radii, types)."""
     gid = np.asarray(sstate.gid)
     live = gid >= 0
     order = gid[live]
     out = {}
-    for name in ("pos", "vel", "engs", "radii", "types"):
+    for name in ("pos", "vel", "frc", "engs", "radii", "types"):
         a = np.asarray(getattr(sstate, name))[live]
         full = np.zeros((n_at,) + a.shape[1:], a.dtype)
         full[order] = a

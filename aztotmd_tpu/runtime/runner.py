@@ -40,8 +40,20 @@ class MDRunner:
 
     def __init__(self, sysd: dict, out_dir: str = ".", quiet: bool = False,
                  checkpoint_every: int = 0, profile: bool = False,
-                 debug: bool = False, append: bool = False):
+                 debug: bool = False, append: bool = False,
+                 mesh_devices: int = 0):
         self.cfg = sysd["cfg"]
+        self.mesh = None
+        if mesh_devices:
+            # slab decomposition over a device mesh (parallel/slab.py):
+            # the deck's cfg is re-gridded to the 27-point block stencil
+            # with ncx divisible by the mesh, the state is distributed
+            # by x-slab, and the whole step loop runs sharded
+            from ..parallel import make_mesh
+            from ..parallel import slab as _slab
+            self.cfg = _slab.prepare_slab_cfg(self.cfg, mesh_devices)
+            sysd = dict(sysd, cfg=self.cfg)
+            self.mesh = make_mesh(mesh_devices, axis="x")
         self.ff = sysd["ff"]
         self.state = sysd["state"]
         self.aux = sysd["aux"]
@@ -81,7 +93,8 @@ class MDRunner:
         self.chunk = _gcd_all(periods) or 1000
         self.chunk = min(self.chunk, 1000)
         self.rdf_in_chunk = bool(ctl.fr_rdf and ctl.r_rdf > 0
-                                 and self.chunk % ctl.fr_rdf == 0)
+                                 and self.chunk % ctl.fr_rdf == 0
+                                 and self.mesh is None)
         if ctl.fr_rdf and not self.rdf_in_chunk:
             # fall back: align chunks to the RDF period on the host
             self.chunk = _gcd_all(periods + [ctl.fr_rdf]) or ctl.fr_rdf
@@ -158,7 +171,8 @@ class MDRunner:
                                self.p_rdf_out) if p]
         self.ring_ok = self.p_stat > 0 and all(
             p % self.p_stat == 0 for p in self._host_periods) \
-            and not os.environ.get("AZTOTMD_NO_RING")
+            and not os.environ.get("AZTOTMD_NO_RING") \
+            and self.mesh is None
         if self.rcfg is not None and self.p_rdf:
             self.ring_ok = self.ring_ok and (self.p_stat % self.p_rdf == 0)
         if self.ring_ok:
@@ -182,6 +196,20 @@ class MDRunner:
 
         self._build_programs()
 
+        if self.mesh is not None:
+            # distribute the freshly-built (or resumed) MDState by
+            # x-slab; keep the MDState template so checkpoints stay
+            # mesh-independent (resume works single-chip or any mesh)
+            from ..parallel import slab as _slab
+            self._mdstate_template = self.state
+            self._slab_cap_factor = 1.6
+            self._slab_spec_number = np.bincount(
+                types_h, minlength=cfg.n_spec).astype(np.int32)
+            self.state = _slab.make_slab_state(
+                cfg, self.state, self.mesh,
+                cap_factor=self._slab_cap_factor)
+            self._sview_cache = None
+
         from ..utils import StageTimer
         self.profile = profile
         self.debug = debug
@@ -193,6 +221,18 @@ class MDRunner:
         """(Re)build all jitted programs from the current cfg — called at
         init and after a capacity auto-grow rebuild."""
         cfg, rcfg = self.cfg, self.rcfg
+        if self.mesh is not None:
+            from ..parallel import slab as _slab
+            self.multi = _slab.make_slab_multi_step(cfg, self.aux,
+                                                    self.mesh)
+            if rcfg is not None:
+                @jax.jit
+                def _rdf_s(pos, types, spec_number, hist, nhist):
+                    return ops_rdf.rdf_sample(
+                        cfg, rcfg, pos, types, spec_number,
+                        self._spec_nuclei, self._nucl_number, hist, nhist)
+                self._rdf_fn = _rdf_s
+            return
         self.multi = make_multi_step(cfg, self.aux, donate=True)
 
         if rcfg is not None:
@@ -375,7 +415,7 @@ class MDRunner:
                 self._advance(n)
                 done += n
                 self._sample(done)
-            if self.debug:
+            if self.debug and self.mesh is None:
                 from .debug import assert_state_ok
                 assert_state_ok(self.cfg, self.state)
 
@@ -487,7 +527,7 @@ class MDRunner:
 
     # ------------------------------------------------------------------
     def _sample(self, step: int):
-        st = self.state
+        st = self._sview()
         if self.p_stat and step % self.p_stat == 0:
             t = step * self.cfg.dt
             # ONE batched device->host fetch: each blocking scalar pull
@@ -526,7 +566,7 @@ class MDRunner:
     def _sample_rest(self, step: int):
         """Non-stat sampling (hist/vaf/rdf/traj/revcon/checkpoint) — in
         ring mode these fire only at host-event boundaries."""
-        st = self.state
+        st = self._sview()
         if self.w_hist and step % self.p_hist == 0:
             from .. import units
             i1 = 1 if self.cfg.n_at > 1 else 0
@@ -576,8 +616,9 @@ class MDRunner:
             self._write_revcon(suffix=str(step))
 
         if self.checkpoint_every and step % self.checkpoint_every == 0:
+            ck = self._slab_to_mdstate() if self.mesh is not None else st
             save_checkpoint(os.path.join(self.out_dir, "checkpoint.npz"),
-                            st, {"step": step})
+                            ck, {"step": step})
 
     def _console(self, step, eng, x1, pressure, n_bond):
         parts = [f"{step} x1={x1:.2f}"]
@@ -593,8 +634,119 @@ class MDRunner:
             parts.append(f"U={eng['temp']:.3G}")
         print(" ".join(parts), flush=True)
 
+    def _sview(self):
+        """Sampling/writer view of the state: the MDState itself on a
+        single chip, or an MDState-shaped namespace assembled from the
+        slab state (replicated scalars pass through as device arrays,
+        per-atom arrays are gathered host-side in gid order)."""
+        if self.mesh is None:
+            return self.state
+        st = self.state
+        step = int(st.step)
+        if self._sview_cache is not None and \
+                self._sview_cache[0] == step:
+            return self._sview_cache[1]
+        from types import SimpleNamespace
+        from ..parallel import slab as _slab
+        cfg = self.cfg
+        g = _slab.gather_state(st, cfg.n_at)
+        z = np.zeros((), np.int32)
+        nbt = max(cfg.n_bond_types, 1)
+        view = SimpleNamespace(
+            energies=st.energies, pos_mom=st.pos_mom,
+            neg_mom=st.neg_mom, pressure=st.pressure,
+            spec_number=self._slab_spec_number,
+            cross_pos=st.cross_pos, cross_neg=st.cross_neg,
+            n_bond=z, bt_count=np.zeros(nbt, np.int32),
+            bt_r_mean=np.zeros(nbt, np.float32),
+            bt_lt_mean=np.zeros(nbt, np.float32),
+            n_jump=z, jump_pos=z, jump_neg=z,
+            pos=g["pos"], vel=g["vel"], types=g["types"],
+            engs=g["engs"], radii=g["radii"],
+            parents=np.full(cfg.n_at, -1, np.int32),
+            nbonds=np.zeros(cfg.n_at, np.int32),
+            cell_overflow=st.slab_occ, nbr_over=z, nbr_viol=z,
+            rdf_over=z, step=st.step)
+        self._sview_cache = (step, view)
+        return view
+
+    def _slab_to_mdstate(self):
+        """Reassemble a full single-chip MDState from the slab state
+        (mesh-independent checkpoints + capacity-rebuild redistribution)."""
+        import jax.numpy as jnp
+        from ..parallel import slab as _slab
+        st = self.state
+        g = _slab.gather_state(st, self.cfg.n_at)
+        npdt = np.dtype(self.cfg.jnp_dtype)
+        t = self._mdstate_template
+        return t.replace(
+            pos=jnp.asarray(g["pos"].astype(npdt)),
+            vel=jnp.asarray(g["vel"].astype(npdt)),
+            frc=jnp.asarray(g["frc"].astype(npdt)),
+            engs=jnp.asarray(g["engs"].astype(npdt)),
+            radii=jnp.asarray(g["radii"].astype(npdt)),
+            types=jnp.asarray(g["types"]),
+            # stale after redistribution: force a list rebuild
+            nbr_ref=jnp.asarray(g["pos"].astype(npdt) + npdt.type(1e9)),
+            rng=st.rng, step=st.step, chit=st.chit, consint=st.consint,
+            energies=st.energies, pressure=st.pressure,
+            pos_mom=st.pos_mom, neg_mom=st.neg_mom,
+            mom_buf_pos=st.mom_buf_pos, mom_buf_neg=st.mom_buf_neg,
+            i_mom=st.i_mom, cross_pos=st.cross_pos,
+            cross_neg=st.cross_neg)
+
+    def _check_slab_health(self):
+        """Slab-mode monitors (the mesh analog of _check_overflow):
+        grow grid.cap when a cell overflows (rank >= cap atoms get no
+        pair force), grow the slot/migration capacity and redistribute
+        when migration ever deletes or defers atoms."""
+        import dataclasses
+        st = self.state
+        occ = int(st.slab_occ)
+        lost = int(st.mig_lost)
+        defer = int(st.mig_defer)
+        cfg = self.cfg
+        rebuild = False
+        if occ > cfg.grid.cap:
+            from ..core.config import CellGrid, _round_up
+            new_cap = _round_up(occ + max(2, occ // 4), 4)
+            print(f"WARNING: slab cell occupancy {occ} exceeded capacity "
+                  f"{cfg.grid.cap}; rebuilding with cap={new_cap}",
+                  file=sys.stderr)
+            g = cfg.grid
+            self.cfg = dataclasses.replace(
+                cfg, grid=CellGrid(dims=g.dims, cap=new_cap,
+                                   stencil=g.stencil, edge=g.edge))
+            rebuild = True
+        seen = getattr(self, "_slab_mig_seen", (0, 0))
+        if (lost, defer) > seen:
+            self._slab_mig_seen = (lost, defer)
+            if lost > seen[0]:
+                print(f"WARNING: slab migration DELETED {lost - seen[0]} "
+                      "atoms (receiver slots full); raising capacity and "
+                      "redistributing", file=sys.stderr)
+                self._slab_cap_factor *= 1.5
+                rebuild = True
+            elif defer > seen[1] and not getattr(self, "_defer_warned", 0):
+                print(f"WARNING: {defer} deferred slab migrations so far "
+                      "(sender buffer full); atoms retry next step but "
+                      "sit out one pair pass", file=sys.stderr)
+                self._defer_warned = 1
+        if rebuild:
+            from ..parallel import slab as _slab
+            md = self._slab_to_mdstate()
+            self._build_programs()
+            self.state = _slab.make_slab_state(
+                self.cfg, md, self.mesh,
+                cap_factor=self._slab_cap_factor)
+            self._sview_cache = None
+            # the fresh state restarts its counters from zero
+            self._slab_mig_seen = (0, 0)
+
     def _check_overflow(self, occ=None, nbr_over=None, nbr_viol=None,
                         rdf_over=None):
+        if self.mesh is not None:
+            return self._check_slab_health()
         """Monitored rebucket path: the reference corrupts memory on cell
         overflow (cuMDfunc.cu:264-265); we detect and rebuild.  The
         counters arrive pre-fetched from the batched sample pull."""
@@ -689,7 +841,7 @@ class MDRunner:
 
     def finalize(self):
         """End-of-run outputs (main.cu:411-447)."""
-        st = self.state
+        st = self._sview()
         fld, ctl, cfg = self.fld, self.ctl, self.cfg
         j = lambda p: os.path.join(self.out_dir, p)
         for w in (self.w_stat, self.w_bnd, self.w_msd, self.w_jmp,
@@ -733,7 +885,7 @@ class MDRunner:
                   f"{time.time() - self._t0:.0f} s", flush=True)
 
     def _write_revcon(self, suffix=""):
-        st = self.state
+        st = self._sview()
         types = np.asarray(st.types)
         names = [self.fld.species[t].name for t in types]
         W.write_atoms_xyz(os.path.join(self.out_dir, f"revcon{suffix}.xyz"),

@@ -234,3 +234,73 @@ def test_slab_step_radiative_thermostat_matches():
                                rtol=0, atol=1e-9)
     assert float(out.energies.temp) == pytest.approx(
         float(ref.energies.temp), rel=1e-8)
+
+
+def _write_lj_deck(path, n_side=9, box=40.0, steps=300, seed=5):
+    """Small Ar LJ deck (radiative tstat + RDF) for runner-level tests."""
+    import os
+    rng = np.random.default_rng(seed)
+    g = (np.arange(n_side) + 0.5) * (box / n_side)
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    pos += rng.uniform(-0.4, 0.4, pos.shape)
+    with open(os.path.join(path, "atoms.xyz"), "w") as f:
+        f.write(f"{len(pos)}\n1 {box:.6f} {box:.6f} {box:.6f}\n")
+        for p in pos:
+            f.write(f"Ar\t{p[0]:.6f}\t{p[1]:.6f}\t{p[2]:.6f}\n")
+    with open(os.path.join(path, "control.txt"), "w") as f:
+        f.write(f"""timestep 0.001 ps
+nstep {steps}
+nequil  0 
+eqfreq 100
+temperature 60.0\tradi\t0.2
+init_vel\tzero\t0.0332
+permittivity  1.0 
+elec\tfenn\t4.0\t0.4\t6\t6\t6
+rdf\t6.0   0.05\t50\t0\tnucl
+stat\t100
+""")
+    with open(os.path.join(path, "field.txt"), "w") as f:
+        f.write("""spec 1
+Ar\tAr\t39.9\t0.0\t0.0
+red-ox 0
+vdw 1
+Ar\tAr\tlnjs\t4.0    0.01006\t3.3952
+""")
+
+
+def test_runner_mesh_matches_single_device(tmp_path):
+    """`run --mesh N` end-to-end: the slab-decomposed runner must
+    produce the same stat.dat/rdf.dat/revcon.xyz as the single-device
+    runner (VERDICT r2 item 2; the mesh analog of main.cu:239-463)."""
+    from aztotmd_tpu.runtime.runner import MDRunner
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+
+    deck = tmp_path / "deck"
+    deck.mkdir()
+    _write_lj_deck(str(deck))
+
+    r1 = MDRunner(load_deck_dir(str(deck), dtype="f32"),
+                  out_dir=str(tmp_path / "out1"), quiet=True)
+    r1.run()
+    r1.finalize()
+
+    r4 = MDRunner(load_deck_dir(str(deck), dtype="f32"),
+                  out_dir=str(tmp_path / "out4"), quiet=True,
+                  mesh_devices=4)
+    assert r4.mesh is not None and not r4.ring_ok
+    r4.run()
+    r4.finalize()
+
+    s1 = np.loadtxt(tmp_path / "out1" / "stat.dat", skiprows=2)
+    s4 = np.loadtxt(tmp_path / "out4" / "stat.dat", skiprows=2)
+    assert s1.shape == s4.shape and s1.shape[0] == 3
+    np.testing.assert_allclose(s4, s1, rtol=1e-4, atol=2e-5)
+
+    g1 = np.loadtxt(tmp_path / "out1" / "rdf.dat", skiprows=2)
+    g4 = np.loadtxt(tmp_path / "out4" / "rdf.dat", skiprows=2)
+    np.testing.assert_allclose(g4, g1, rtol=1e-4, atol=1e-4)
+
+    # slab health: nothing lost, nothing overflowing
+    assert int(r4.state.mig_lost) == 0
+    assert int(r4.state.slab_occ) <= r4.cfg.grid.cap
