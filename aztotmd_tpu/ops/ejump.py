@@ -101,13 +101,61 @@ def _mutation_energies(cfg, ff, state):
     return dU_ox, dU_red
 
 
-def do_jumps(cfg, ff, state, jump_idx, active=None):
+def _env_mutation_energies(cfg, ff, state, nbr_idx=None):
+    """Serial-twin ENVIRONMENT dU (ejump.cpp:200-262): per-atom energy
+    change of switching atom i to its ox/red form, summed over its
+    captured neighbors at their CURRENT types — VdW difference under
+    the per-pair r2cut plus the plain-Coulomb difference
+    Fcoul * q_k * (q_new - q_old) / r (the reference's "change to
+    Ewald?" TODO notwithstanding).  Neighbors come from the Verlet
+    list when available, else a masked all-pairs sweep (bond-free
+    ejump decks are small).  Both are cut at cfg.r2_max, the reach of
+    the reference's captured list."""
+    N = cfg.n_at
+    pos = state.pos
+    types = state.types
+    dt = pos.dtype
+
+    if nbr_idx is not None:
+        pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+        types_p = jnp.concatenate(
+            [types, jnp.zeros((1,), jnp.int32)], axis=0)
+        valid = nbr_idx < N
+        delta = min_image(pos[:, None, :] - pos_p[nbr_idx], cfg)
+        tj = types_p[nbr_idx]
+    else:
+        delta = min_image(pos[:, None, :] - pos[None, :, :], cfg)
+        valid = ~jnp.eye(N, dtype=bool)
+        tj = jnp.broadcast_to(types[None, :], (N, N))
+    r2 = jnp.sum(delta * delta, axis=-1)
+    within = valid & (r2 <= cfg.r2_max)
+    r2s = jnp.where(within, r2, 1.0)
+    r = jnp.sqrt(r2s)
+
+    q = ff.spec_charge
+    out = []
+    for table in (ff.spec_oxform, ff.spec_redform):
+        new_t = table[types] - 1                    # -1 = no form
+        ok = new_t >= 0
+        new_safe = jnp.maximum(new_t, 0)
+        dv = _vdw_energy(cfg, ff, new_safe[:, None], tj, r2s, r) \
+            - _vdw_energy(cfg, ff, types[:, None], tj, r2s, r)
+        dq = (q[new_safe] - q[types])[:, None]
+        dc = cfg.coul_scale * q[tj] / r * dq
+        contrib = jnp.where(within & ok[:, None], dv + dc, 0.0)
+        out.append(jnp.sum(contrib, axis=1))
+    return out[0], out[1]
+
+
+def do_jumps(cfg, ff, state, jump_idx, active=None, nbr_idx=None):
     """Perform electron jumps for donor atoms with candidate acceptors.
     jump_idx[i] = nearest acceptor of donor i (sentinel n_at).
 
     `active`: optional scalar bool gating the whole pass — the jmp_rare
     frequency schedule (ejump.cpp:592-597) masks acceptance instead of
-    branching (a TPU lax.cond may execute both branches)."""
+    branching (a TPU lax.cond may execute both branches).
+    `nbr_idx`: optional (N, K) Verlet list for the bond-free
+    environment-dU scheme (see _env_mutation_energies)."""
     N = cfg.n_at
     dt = state.pos.dtype
     types = state.types
@@ -130,6 +178,25 @@ def do_jumps(cfg, ff, state, jump_idx, active=None):
     if cfg.use_bnd:
         dU_ox, dU_red = _mutation_energies(cfg, ff, state)
         dU = dU_ox + dU_red[acc]
+    elif nbr_idx is not None or N <= 8192:
+        # bond-free decks: the serial engine's environment scheme
+        # (ejump.cpp:200-262) — the CUDA twin has no equivalent (its
+        # dU covers the bonded neighborhood only)
+        dU_ox, dU_red = _env_mutation_energies(cfg, ff, state, nbr_idx)
+        dU = dU_ox + dU_red[acc]
+        # the reference's acceptor loop SKIPS the donor
+        # (ejump.cpp:236-239) while the donor loop keeps the acceptor
+        # at its old type — remove the acceptor->donor term the
+        # per-atom sum double-collected
+        d_ij = min_image(state.pos - state.pos[acc], cfg)
+        r2ij = jnp.sum(d_ij * d_ij, axis=-1)
+        r2ij = jnp.where(has, r2ij, 1.0)
+        rij = jnp.sqrt(r2ij)
+        corr = _vdw_energy(cfg, ff, red, types, r2ij, rij) \
+            - _vdw_energy(cfg, ff, acc_t, types, r2ij, rij) \
+            + cfg.coul_scale * ff.spec_charge[types] / rij \
+            * (ff.spec_charge[red] - ff.spec_charge[acc_t])
+        dU = dU - jnp.where(has, corr, 0.0)
     else:
         dU = jnp.zeros((N,), dt)
 

@@ -185,6 +185,13 @@ def make_step(cfg, aux: StepAux | None = None,
 
         # --- electron jumps (frequency gating: ejump.cpp:592-617) ---
         if cfg.ejtype:
+            # bond-free decks compute the serial-twin environment dU
+            # over the Verlet list when the neighbor engine runs
+            # (ejump.cpp:200-262); other engines fall back to a masked
+            # all-pairs sweep inside do_jumps
+            jump_nbr = state.nbr_idx \
+                if (cfg.pair_engine == "neighbor"
+                    and not cfg.use_bnd) else None
             f = int(cfg.ejump_freq)
             if f < 0:
                 # jmp_rare: one jump pass every |f| steps — gate by
@@ -192,18 +199,21 @@ def make_step(cfg, aux: StepAux | None = None,
                 # on TPU; the mask costs nothing)
                 active = (state.step % (-f)) == 0
                 state = ops_ejump.do_jumps(cfg, ff, state, pr.jump_idx,
-                                           active=active)
+                                           active=active,
+                                           nbr_idx=jump_nbr)
             elif f <= 4:
                 # jmp_oft: f jump passes per step over this step's
                 # candidates (each pass sees the types the previous one
                 # mutated, so conflict-blocked donors can retry)
                 for _ in range(max(f, 1)):
                     state = ops_ejump.do_jumps(cfg, ff, state,
-                                               pr.jump_idx)
+                                               pr.jump_idx,
+                                               nbr_idx=jump_nbr)
             else:
                 state = jax.lax.fori_loop(
                     0, f, lambda _, s: ops_ejump.do_jumps(
-                        cfg, ff, s, pr.jump_idx), state)
+                        cfg, ff, s, pr.jump_idx, nbr_idx=jump_nbr),
+                    state)
 
         # --- valence angles ---
         eng_angle = jnp.zeros((), fdt)

@@ -1,6 +1,7 @@
 """Electron-hopping tests on a synthetic Fe2+/Fe3+ redox deck."""
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -80,7 +81,12 @@ def test_jump_counter_increments_when_jump_happens():
         assert types1[0] == 1 and types1[1] == 0
 
 
-FIELD_EQ = FIELD.replace("2.0\t0.5", "2.0\t0.0")  # equal own energies
+# equal own energies AND equal charges: the environment-dU scheme
+# (serial twin, ejump.cpp:200-262) contributes F*q_k*dq/r per neighbor,
+# so a charge-changing swap no longer has dU == 0 — the gating test
+# needs a deck where every pass is energetically allowed
+FIELD_EQ = FIELD.replace("2.0\t0.5", "2.0\t0.0") \
+                .replace("55.8\t3.0", "55.8\t2.0")
 
 
 def gated_system(ejump: int):
@@ -127,12 +133,16 @@ def test_metropolis_scheme_runs():
 
 
 def _ejump_oracle(pos, types, box, r_elec, d_ejump, e_own, oxf, redf,
-                  donacc, scheme="eq"):
-    """Independent O(N^2) NumPy model of one CUDA-semantics jump pass
-    (cuEjump.cu:39-76 try_to_jump + :78-332 cuda_ejump): each donor
-    targets its NEAREST acceptor within r_elec (pre-pass types), dU is
-    the own-energy difference (no bonds, no field here), and claims
-    resolve first-donor-wins with no retry.  Returns
+                  donacc, scheme="eq", env=None):
+    """Independent O(N^2) NumPy model of one jump pass: each donor
+    targets its NEAREST acceptor within r_elec (pre-pass types,
+    cuEjump.cu:39-76), claims resolve first-donor-wins with no retry.
+    dU is the own-energy difference plus, when ``env`` provides
+    (charges, coul_scale, vdw_kind, vdw_p, vdw_r2cut, r_max), the
+    serial engine's environment sums over all neighbors within r_max
+    (ejump.cpp:200-262: per-pair-cutoff VdW difference + plain-Coulomb
+    F*q_k*dq/r; the acceptor loop skips the donor, the donor loop
+    keeps the acceptor at its old type).  Returns
     (types, n_jump, jump_pos, jump_neg)."""
     n = len(types)
     types = types.copy()
@@ -148,6 +158,39 @@ def _ejump_oracle(pos, types, box, r_elec, d_ejump, e_own, oxf, redf,
     nearest = np.argmin(r2a, axis=1)
     ok = is_don & (r2a[np.arange(n), nearest] <= r_elec * r_elec)
 
+    def vdw_e(t1, t2, rr2):
+        if env is None:
+            return 0.0
+        _, _, kind, p, r2cut, _ = env
+        k = kind[t1, t2]
+        if k == 0 or rr2 > r2cut[t1, t2]:
+            return 0.0
+        assert k == 1, "oracle models lnjs only"
+        p0, p1 = p[t1, t2, 0], p[t1, t2, 1]
+        sr6 = (p1 / rr2) ** 3
+        return p0 * sr6 * (sr6 - 1.0)
+
+    def env_du(i, j, ti2, tj2):
+        """VdW + Coulomb environment difference for the (i->ti2,
+        j->tj2) swap, serial scheme."""
+        if env is None:
+            return 0.0
+        q, fcoul, _, _, _, r_max = env
+        du = 0.0
+        ti, tj = types[i], types[j]
+        for k in range(n):
+            if k != i and r2[i, k] <= r_max * r_max:
+                rr = math.sqrt(r2[i, k])
+                du += vdw_e(ti2, types[k], r2[i, k]) \
+                    - vdw_e(ti, types[k], r2[i, k]) \
+                    + fcoul * q[types[k]] * (q[ti2] - q[ti]) / rr
+            if k != j and k != i and r2[j, k] <= r_max * r_max:
+                rr = math.sqrt(r2[j, k])
+                du += vdw_e(tj2, types[k], r2[j, k]) \
+                    - vdw_e(tj, types[k], r2[j, k]) \
+                    + fcoul * q[types[k]] * (q[tj2] - q[tj]) / rr
+        return du
+
     n_jump = jp = jn = 0
     claimed = np.zeros(n, bool)
     for i in range(n):
@@ -160,7 +203,8 @@ def _ejump_oracle(pos, types, box, r_elec, d_ejump, e_own, oxf, redf,
         ox, red = oxf[ti] - 1, redf[tj] - 1
         if ox < 0 or red < 0:
             continue
-        dU = (e_own[ox] - e_own[ti]) + (e_own[red] - e_own[tj])
+        dU = (e_own[ox] - e_own[ti]) + (e_own[red] - e_own[tj]) \
+            + env_du(i, j, ox, red)
         accept = abs(dU) < d_ejump if scheme == "eq" else dU < 0.0
         if not accept:
             continue
@@ -191,7 +235,9 @@ def test_ejump_matches_numpy_oracle_multielectron():
                       elec=ElecSpec(type=ELEC_DIRECT, r_real=6.0))
     ctl.ejump = 1
     ctl.ejtype = JUMP_EQ
-    ctl.d_ejump = 1.0          # own energies cancel: dU = 0, all accept
+    # wide enough to accept SOME environment dUs and reject others —
+    # the env term (serial scheme) is tens of eV at these charges
+    ctl.d_ejump = 40.0
     ctl.r_elec = 3.0
     atoms = AtomsData(names=names, pos=pos, box=box)
     cfg, ff, state, aux = build_system(ctl, fld, atoms, dtype="f64",
@@ -202,6 +248,9 @@ def test_ejump_matches_numpy_oracle_multielectron():
     oxf = np.array([s.oxForm for s in fld.species])
     redf = np.array([s.redForm for s in fld.species])
     donacc = np.array([s.donacc for s in fld.species])
+    env = (np.asarray(ff.spec_charge), cfg.coul_scale,
+           np.asarray(ff.vdw_kind), np.asarray(ff.vdw_p),
+           np.asarray(ff.vdw_r2cut), cfg.r_max)
 
     otypes = np.asarray(state.types)
     tot = tp = tn = 0
@@ -211,7 +260,7 @@ def test_ejump_matches_numpy_oracle_multielectron():
         opos = np.asarray(state.pos)
         otypes, nj, jp, jn = _ejump_oracle(
             opos, otypes, box, ctl.r_elec, ctl.d_ejump, e_own,
-            oxf, redf, donacc)
+            oxf, redf, donacc, env=env)
         tot += nj; tp += jp; tn += jn
         state = step(state, ff)
         np.testing.assert_array_equal(np.asarray(state.types), otypes,
@@ -230,13 +279,16 @@ def test_dual_role_species_jumps_past_nearer_donor():
     reference's try_to_jump (nearest acceptor only, cuEjump.cu:39-76)
     would perform."""
     from aztotmd_tpu.io.control import JUMP_EQ
+    # equal charges and no vdw between the involved species: the
+    # environment-dU sums cancel, so acceptance is decided by own
+    # energies alone (keeps the test focused on candidate SELECTION)
     fld = parse_field("""
 spec 5
 X2\tX\t55.8\t2.0\t0.0
-X3\tX\t55.8\t3.0\t10.0
+X3\tX\t55.8\t2.0\t10.0
 Fe2\tFe\t55.8\t2.0\t0.0
-Fe3\tFe\t55.8\t3.0\t0.0
-Fe4\tFe\t55.8\t4.0\t0.0
+Fe3\tFe\t55.8\t2.0\t0.0
+Fe4\tFe\t55.8\t2.0\t0.0
 red-ox 2
 3 Fe4 Fe3 Fe2
 2 X3 X2
