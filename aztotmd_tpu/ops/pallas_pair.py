@@ -218,11 +218,19 @@ def _pair_kernel(cfg, S, cap, chunk, nsp, use_coul, use_radii,
     ec_ref[:, :, :] = jnp.full((1, 8, 128), ec, f32)
 
 
+_BIG = 1e30
+_IBIG = 2 ** 31 - 1
+
+
 def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
-                     params_ref,
+                     want_bind, want_jump,
+                     params_ref, donacc_ref,
                      xi_ref, yi_ref, zi_ref, vi_ref, ti_ref, ri_ref,
+                     pi_ref,
                      xj_ref, yj_ref, zj_ref, vj_ref, tj_ref, rj_ref,
-                     fx_ref, fy_ref, fz_ref, ev_ref, ec_ref):
+                     pj_ref,
+                     fx_ref, fy_ref, fz_ref, ev_ref, ec_ref,
+                     cand_refs):
     """One (T_i, T_j) tile of the dense O(N^2) pair pass.
 
     The j grid axis is innermost, so the (1, T) output rows for tile i
@@ -271,12 +279,35 @@ def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
     fsum = jnp.zeros((T, T), f32)
     ev = jnp.zeros((T, 1), f32)
     ec = jnp.zeros((T, 1), f32)
+
+    def tile_min(can):
+        """Row-wise (min_r2, global argmin id) of a masked tile, as
+        pure min reductions (no argmin lowering needed): ties break to
+        the lowest global id like the serial scans."""
+        r2m = jnp.where(can, r2, f32(_BIG))
+        m = jnp.min(r2m, axis=1, keepdims=True)
+        idm = jnp.min(jnp.where((r2m == m) & can, gj, _IBIG),
+                      axis=1, keepdims=True)
+        return m, idm
+
+    if want_bind:
+        bind_r2t = jnp.full((T, 1), _BIG, f32)
+        bind_idt = jnp.full((T, 1), _IBIG, jnp.int32)
+        par_ok = ((pi_ref[0] != gj) & (pj_ref[0] != gi)) \
+            if pi_ref is not None else jnp.ones((T, T), bool)
+    if want_jump:
+        in_ej = r2 <= f32(cfg.r2_elec)
+        jd_r2t = jnp.full((T, 1), _BIG, f32)
+        jd_idt = jnp.full((T, 1), _IBIG, jnp.int32)
+        ja_r2t = jnp.full((T, 1), _BIG, f32)
+        ja_idt = jnp.full((T, 1), _IBIG, jnp.int32)
+
     for a in range(nsp):
         for b in range(nsp):
             kind = kind_tab[a][b]
             row = a * nsp + b
             need_vdw = kind != 0
-            if not (need_vdw or use_coul):
+            if not (need_vdw or use_coul or want_bind or want_jump):
                 continue
             pm = inr if nsp == 1 else \
                 jnp.where((ti == a) & (tj == b), inr, 0.0)
@@ -299,6 +330,29 @@ def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
                 fsum = fsum + pm * fc
                 ec = ec + 0.5 * jnp.sum(pm * e_c, axis=1,
                                         keepdims=True)
+            if want_bind:
+                # col 7 holds bind_r2 * (bonding_matr != 0): zero means
+                # this species pair never binds (try_to_bind,
+                # cuBonds.cu:8-59)
+                br2 = params_ref[row, 7]
+                m, idm = tile_min((pm > 0.0) & (r2 <= br2) & par_ok)
+                upd = m < bind_r2t
+                bind_r2t = jnp.where(upd, m, bind_r2t)
+                bind_idt = jnp.where(upd, idm, bind_idt)
+            if want_jump:
+                # per-role nearest candidates (pairs._jump_candidates
+                # semantics; try_to_jump, cuEjump.cu:39-76)
+                da = donacc_ref[a, 0]
+                db = donacc_ref[b, 0]
+                can = (pm > 0.0) & in_ej
+                m, idm = tile_min(can & ((da & 1) > 0) & ((db & 2) > 0))
+                upd = m < jd_r2t
+                jd_r2t = jnp.where(upd, m, jd_r2t)
+                jd_idt = jnp.where(upd, idm, jd_idt)
+                m, idm = tile_min(can & ((da & 2) > 0) & ((db & 1) > 0))
+                upd = m < ja_r2t
+                ja_r2t = jnp.where(upd, m, ja_r2t)
+                ja_idt = jnp.where(upd, idm, ja_idt)
 
     fsum = jnp.clip(fsum, -MX_FRC, MX_FRC)
 
@@ -309,12 +363,28 @@ def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
         fz_ref[0] = jnp.zeros((T, 1), f32)
         ev_ref[0] = jnp.zeros((T, 1), f32)
         ec_ref[0] = jnp.zeros((T, 1), f32)
+        for k, r in enumerate(cand_refs):
+            r[0] = jnp.full((T, 1), _BIG, f32) if k % 2 == 0 \
+                else jnp.full((T, 1), _IBIG, jnp.int32)
 
     fx_ref[0] += jnp.sum(fsum * dx, axis=1, keepdims=True)
     fy_ref[0] += jnp.sum(fsum * dy, axis=1, keepdims=True)
     fz_ref[0] += jnp.sum(fsum * dz, axis=1, keepdims=True)
     ev_ref[0] += ev
     ec_ref[0] += ec
+
+    cands = []
+    if want_bind:
+        cands.append((bind_r2t, bind_idt))
+    if want_jump:
+        cands.append((jd_r2t, jd_idt))
+        cands.append((ja_r2t, ja_idt))
+    for k, (m, idm) in enumerate(cands):
+        r2_ref, id_ref = cand_refs[2 * k], cand_refs[2 * k + 1]
+        cur = r2_ref[0]
+        upd = m < cur
+        r2_ref[0] = jnp.where(upd, m, cur)
+        id_ref[0] = jnp.where(upd, idm, id_ref[0])
 
 
 def allpairs_cost(cfg) -> int:
@@ -329,7 +399,9 @@ def _round_up_int(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pair_forces_allpairs(cfg, ff, pos, types, radii=None,
+def pair_forces_allpairs(cfg, ff, pos, types, radii=None, parents=None,
+                         want_bind: bool = False,
+                         want_jump: bool = False,
                          interpret: bool | None = None,
                          tile: int = 512) -> PairResult:
     """Dense tiled O(N^2) Pallas pair pass — the winner for CLUSTERED
@@ -337,7 +409,11 @@ def pair_forces_allpairs(cfg, ff, pos, types, radii=None,
     decomposition overcounts: the block engine's stencil*cap^2*n_cell
     is ~20x the padded N^2 at 4k atoms, and Verlet lists degenerate
     (K ~ 1600, gather-bound).  No binning, no gathers, no overflow
-    monitors — pure regular VPU tiles.
+    monitors — pure regular VPU tiles.  Reactive candidate
+    registration (bind/jump per-role nearest candidates) runs fused
+    inside the kernel as running row minima over the j tiles (the
+    Pallas analog of pair_1's try_to_bind/try_to_jump,
+    cuPairs.cu:117-167).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -371,12 +447,19 @@ def pair_forces_allpairs(cfg, ff, pos, types, radii=None,
     use_radii = bool(cfg.use_radii and radii is not None)
     rad = flat(radii, 1.0) if use_radii else None
     ts = flat(types, 0, jnp.int32) if nsp > 1 else None
+    use_par = bool(want_bind and parents is not None)
+    par = flat(parents, -1, jnp.int32) if use_par else None
 
     prm = jnp.zeros((nsp * nsp, 8), f32)
     prm = prm.at[:, 0:5].set(ff.vdw_p.reshape(-1, 5).astype(f32))
     prm = prm.at[:, 5].set((ff.chprod.reshape(-1)
                             * cfg.coul_scale).astype(f32))
     prm = prm.at[:, 6].set(ff.vdw_r2cut.reshape(-1).astype(f32))
+    if want_bind:
+        prm = prm.at[:, 7].set(
+            (ff.bind_r2 * (ff.bonding_matr != 0)).reshape(-1)
+            .astype(f32))
+    donacc = ff.spec_donacc.reshape(nsp, 1).astype(jnp.int32)
     use_coul = cfg.elec_type != ELEC_NONE
 
     ispec = lambda: pl.BlockSpec((1, T, 1), lambda i, j: (i, 0, 0),
@@ -386,7 +469,9 @@ def pair_forces_allpairs(cfg, ff, pos, types, radii=None,
     ospec = lambda: pl.BlockSpec((1, T, 1), lambda i, j: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
 
-    ins, in_specs = [prm], [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    ins = [prm, donacc]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
     for shape, spec in ((cols, ispec), (rows, jspec)):
         ins += [shape(xs), shape(ys), shape(zs), shape(vm)]
         in_specs += [spec() for _ in range(4)]
@@ -396,28 +481,45 @@ def pair_forces_allpairs(cfg, ff, pos, types, radii=None,
         if use_radii:
             ins.append(shape(rad))
             in_specs.append(spec())
+        if use_par:
+            ins.append(shape(par))
+            in_specs.append(spec())
 
-    def kern(params_ref, *refs):
-        half = len(refs) - 5
+    n_cand = (2 if want_bind else 0) + (4 if want_jump else 0)
+
+    def kern(params_ref, donacc_ref, *refs):
+        half = len(refs) - 5 - n_cand
         assert half % 2 == 0
         half //= 2
 
         def unpack(rs):
             rs = list(rs)
             x, y, z, v = rs[:4]
-            t = rs[4] if nsp > 1 else None
-            r = rs[-1] if use_radii else None
-            return x, y, z, v, t, r
+            k = 4
+            t = r = p = None
+            if nsp > 1:
+                t = rs[k]; k += 1
+            if use_radii:
+                r = rs[k]; k += 1
+            if use_par:
+                p = rs[k]; k += 1
+            return x, y, z, v, t, r, p
         iside = unpack(refs[:half])
         jside = unpack(refs[half:2 * half])
-        outs = refs[2 * half:]
-        _allpairs_kernel(cfg, T, nsp, use_coul, use_radii, params_ref,
-                         *iside, *jside, *outs)
+        outs = refs[2 * half:2 * half + 5]
+        cand_refs = refs[2 * half + 5:]
+        _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
+                         want_bind, want_jump, params_ref, donacc_ref,
+                         *iside, *jside, *outs, cand_refs)
 
     out_shape = [jax.ShapeDtypeStruct((n_t, T, 1), f32)
                  for _ in range(5)]
     out_specs = [ospec() for _ in range(5)]
-    fx, fy, fz, ev, ec = pl.pallas_call(
+    for k in range(n_cand):
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_t, T, 1), f32 if k % 2 == 0 else jnp.int32))
+        out_specs.append(ospec())
+    res = pl.pallas_call(
         kern,
         grid=(n_t, n_t),
         in_specs=in_specs,
@@ -425,17 +527,42 @@ def pair_forces_allpairs(cfg, ff, pos, types, radii=None,
         out_shape=out_shape,
         interpret=interpret,
     )(*ins)
+    fx, fy, fz, ev, ec = res[:5]
+    cand = res[5:]
 
     frc = jnp.stack([fx.reshape(-1)[:N], fy.reshape(-1)[:N],
                      fz.reshape(-1)[:N]], axis=1).astype(dt)
     big = jnp.asarray(jnp.inf, dt)
+
+    def cand_out(r2t, idt):
+        """(n_t, T, 1) running minima -> (N,) id/r2 with sentinels."""
+        r2f = r2t.reshape(-1)[:N]
+        idf = idt.reshape(-1)[:N]
+        none = r2f >= f32(_BIG)
+        return (jnp.where(none, N, idf).astype(jnp.int32),
+                jnp.where(none, big, r2f.astype(dt)))
+
     z = jnp.full((N,), N, jnp.int32)
     zr = jnp.full((N,), big, dt)
+    bind_idx, bind_r2 = (z, zr)
+    jump_idx, jump_r2 = (z, zr)
+    k = 0
+    if want_bind:
+        bind_idx, bind_r2 = cand_out(cand[0], cand[1])
+        k = 2
+    if want_jump:
+        jd_idx, jd_r2 = cand_out(cand[k], cand[k + 1])
+        ja_idx, ja_r2 = cand_out(cand[k + 2], cand[k + 3])
+        don_row = (ff.spec_donacc[types] & 1).astype(bool)
+        jump_idx = jnp.where(don_row, jd_idx, ja_idx)
+        jump_r2 = jnp.where(don_row, jd_r2, ja_r2)
+
     return PairResult(frc=frc,
                       eng_vdw=jnp.sum(ev).astype(dt),
                       eng_coul=jnp.sum(ec).astype(dt),
                       max_occ=jnp.zeros((), jnp.int32),
-                      bind_idx=z, bind_r2=zr, jump_idx=z, jump_r2=zr)
+                      bind_idx=bind_idx, bind_r2=bind_r2,
+                      jump_idx=jump_idx, jump_r2=jump_r2)
 
 
 def pair_forces_pallas(cfg, ff, pos, types, radii=None, parents=None,
@@ -443,16 +570,20 @@ def pair_forces_pallas(cfg, ff, pos, types, radii=None, parents=None,
                        want_jump: bool = False,
                        chunk: int = 512,
                        interpret: bool | None = None) -> PairResult:
-    """Pallas fast path; falls back to the XLA block engine for reactive
-    decks (bind/jump candidate registration)."""
-    if not (want_bind or want_jump):
-        # dense/clustered decks: the tiled O(N^2) kernel beats any cell
-        # decomposition when padded N^2 is below the modeled block cost
-        g = cfg.grid
-        block_cost = len(g.stencil) * g.cap * g.cap * g.n_cell
-        if allpairs_cost(cfg) < block_cost:
-            return pair_forces_allpairs(cfg, ff, pos, types, radii=radii,
-                                        interpret=interpret)
+    """Pallas fast path: the dense O(N^2) kernel when it undercuts the
+    modeled block cost (incl. fused reactive candidates), the stacked
+    cell-block kernel otherwise; XLA block engine for the reactive
+    stacked case."""
+    # dense/clustered decks: the tiled O(N^2) kernel beats any cell
+    # decomposition when padded N^2 is below the modeled block cost
+    g = cfg.grid
+    block_cost = len(g.stencil) * g.cap * g.cap * g.n_cell
+    if allpairs_cost(cfg) < block_cost:
+        return pair_forces_allpairs(cfg, ff, pos, types, radii=radii,
+                                    parents=parents,
+                                    want_bind=want_bind,
+                                    want_jump=want_jump,
+                                    interpret=interpret)
     if want_bind or want_jump or min(cfg.grid.dims) < 3 \
             or any(abs(o) > 1 for off in cfg.grid.stencil for o in off):
         # reactive candidate registration, tiny aliased grids, and

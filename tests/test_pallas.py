@@ -141,3 +141,61 @@ def test_cs2_deck_selects_pallas_allpairs():
     from aztotmd_tpu.ops.pallas_pair import allpairs_cost
     g = cfg.grid
     assert allpairs_cost(cfg) < len(g.stencil) * g.cap * g.cap * g.n_cell
+
+
+def test_allpairs_reactive_candidates_match_gather_engine():
+    """Fused bind/jump candidate registration inside the dense kernel
+    must reproduce the gather engine's per-role nearest candidates
+    (try_to_bind/try_to_jump, cuPairs.cu:117-167)."""
+    import jax.numpy as jnp
+    from aztotmd_tpu.io.atoms import AtomsData
+    from aztotmd_tpu.io.control import (ControlSpec, ElecSpec, TStatSpec,
+                                        ELEC_DIRECT, JUMP_EQ)
+    from aztotmd_tpu.io.field import parse_field
+    from aztotmd_tpu.runtime.setup import build_system
+    from aztotmd_tpu.ops.pairs import pair_forces as gather_pair
+
+    rng = np.random.default_rng(11)
+    n = 260
+    box = 22.0
+    pos = rng.uniform(0.5, 21.5, size=(n, 3))
+    names = [("A" if k % 3 == 0 else ("B" if k % 3 == 1 else "C"))
+             for k in range(n)]
+    fld = parse_field("""
+spec 3
+A\tA\t39.9\t1.0\t0.0
+B\tB\t39.9\t-1.0\t0.0
+C\tC\t39.9\t0.5\t0.0
+red-ox 1
+2 A B
+vdw 2
+A\tB\tlnjs\t4.0\t0.01\t2.5
+A\tA\tlnjs\t4.0\t0.01\t2.8
+linkage 1
+A\tC\thrm\t1.2\t2.0\t3.0\t1.4
+""")
+    ctl = ControlSpec(t_step=0.001, n_step=1,
+                      tstat=TStatSpec(type=0, temp=100.0),
+                      elec=ElecSpec(type=ELEC_DIRECT, r_real=5.0))
+    ctl.ejump = 1
+    ctl.ejtype = JUMP_EQ
+    ctl.d_ejump = 1.0
+    ctl.r_elec = 4.0
+    atoms = AtomsData(names=names, pos=pos, box=(box, box, box))
+    cfg, ff, state, aux = build_system(ctl, fld, atoms, dtype="f32",
+                                       seed=3)
+    args = dict(radii=None, parents=state.parents,
+                want_bind=bool(cfg.use_bnd == 2), want_jump=True)
+    pr = jax.jit(lambda p, t: pair_forces_allpairs(
+        cfg, ff, p, t, interpret=True, **args))(state.pos, state.types)
+    orc = gather_pair(cfg, ff, state.pos, state.types, **args)
+    scale = float(np.abs(np.asarray(orc.frc)).max()) or 1.0
+    np.testing.assert_allclose(np.asarray(pr.frc), np.asarray(orc.frc),
+                               rtol=0, atol=3e-5 * scale)
+    np.testing.assert_array_equal(np.asarray(pr.jump_idx),
+                                  np.asarray(orc.jump_idx))
+    if args["want_bind"]:
+        np.testing.assert_array_equal(np.asarray(pr.bind_idx),
+                                      np.asarray(orc.bind_idx))
+    # at least some real candidates in this geometry
+    assert int(np.sum(np.asarray(pr.jump_idx) < cfg.n_at)) > 5
