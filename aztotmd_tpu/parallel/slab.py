@@ -18,11 +18,12 @@ memory scale with the mesh.  The radiative thermostat stays trajectory-
 identical to the single-device engine because its noise is keyed by
 (seed, step, global atom id) (ops/prng.py), not by array position.
 
-Scope: the non-reactive subset (pair potentials incl. Surkov radii,
-direct/Fennel/full-Ewald electrostatics — the recip sum is a per-slab
-partial S(k) + one psum — and all thermostats), which covers both
-reference case studies.  Reactive topology (bonds/angles/ejump) runs
-single-chip or atom-sharded (parallel/mesh.py).
+Scope: pair potentials incl. Surkov radii, direct/Fennel/full-Ewald
+electrostatics (the recip sum is a per-slab partial S(k) + one psum),
+all thermostats, and CONSTANT bonds/angles (per-atom topology records
+that migrate with their atoms; see _bonded_pass).  REACTIVE topology
+(variable bonds/angles, e-jumps) runs single-chip or atom-sharded
+(parallel/mesh.py).
 
 Empty-slot invariant: gid == -1 marks a free slot; its pos/vel/frc/
 engs are all-zero and every stage preserves that.
@@ -63,6 +64,20 @@ class SlabState:
     frc: jax.Array        # (C, 3)
     engs: jax.Array       # (C,) thermal internal energy
     radii: jax.Array      # (C,) thermal radius
+    # --- per-atom topology (travels with the atom on migration) ---
+    # constant-bond decks: each atom carries its bond records by
+    # GLOBAL partner id; each side of a bond holds a record, computes
+    # the force on ITSELF and half the energy (cuBonds.cu:709-796
+    # semantics without the shared bond table)
+    bnd_partner: jax.Array  # (C, B) int32 partner gid, -1 = empty
+    bnd_type: jax.Array     # (C, B) int32 bond type, 0 = empty
+    # angles: every participant holds the record (role inferred by
+    # matching its gid); only its own force share is applied and only
+    # the central atom's owner counts the energy
+    ang_c: jax.Array        # (C, A) int32 central gid, -1 = empty
+    ang_l1: jax.Array       # (C, A) int32
+    ang_l2: jax.Array       # (C, A) int32
+    ang_t: jax.Array        # (C, A) int32 angle type, 0 = empty
 
     # --- replicated scalars ---
     rng: jax.Array        # (2,) uint32
@@ -85,16 +100,27 @@ class SlabState:
     #                       atom stays put and retries next step)
     slab_occ: jax.Array   # () int32 — max per-cell occupancy seen (vs
     #                       grid.cap; the slab analog of cell_overflow)
+    bond_miss: jax.Array  # () int32 — bond/angle records whose partner
+    #                       was outside the +-1-slab position table
+    #                       (stretched topology; forces silently
+    #                       dropped — surfaced by the runner)
 
     def replace(self, **kw) -> "SlabState":
         return dataclasses.replace(self, **kw)
 
 
-PER_SLOT = ("gid", "types", "pos", "vel", "frc", "engs", "radii")
+PER_SLOT = ("gid", "types", "pos", "vel", "frc", "engs", "radii",
+            "bnd_partner", "bnd_type", "ang_c", "ang_l1", "ang_l2",
+            "ang_t")
 # per-atom payload that travels with a migrating atom
 _MIG_F = ("pos", "vel", "frc")          # (C,3) float fields
 _MIG_F1 = ("engs", "radii")             # (C,) float fields
 _MIG_I = ("gid", "types")               # (C,) int fields
+_MIG_I2 = ("bnd_partner", "bnd_type", "ang_c", "ang_l1", "ang_l2",
+           "ang_t")                     # (C, k) int topology fields
+# empty-slot marker per topology field (partners/gids -1, types 0)
+_TOPO_FILL = {"bnd_partner": -1, "bnd_type": 0, "ang_c": -1,
+              "ang_l1": -1, "ang_l2": -1, "ang_t": 0}
 
 
 def slab_caps(cfg, n_dev: int, cap_factor: float = 1.6):
@@ -115,10 +141,11 @@ def check_slab_cfg(cfg, n_dev: int):
                                  for o in off):
         raise ValueError("slab decomposition needs a 27-point stencil "
                          "(cell edge >= cutoff, >= 3 cells per axis)")
-    if cfg.use_bnd or cfg.use_angl or cfg.ejtype:
-        raise ValueError("slab mode covers the non-reactive subset; "
-                         "bonded/reactive decks run single-chip or "
-                         "atom-sharded (parallel/mesh.py)")
+    if cfg.use_bnd == 2 or cfg.use_angl == 2 or cfg.ejtype:
+        raise ValueError("slab mode covers constant topology; "
+                         "REACTIVE decks (variable bonds/angles, "
+                         "e-jumps) run single-chip or atom-sharded "
+                         "(parallel/mesh.py)")
 
 
 def prepare_slab_cfg(cfg, n_dev: int):
@@ -184,19 +211,70 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
     def alloc(shape, dtype, fill=0):
         return np.full((n_dev * C,) + shape, fill, dtype)
 
+    # per-atom topology from the global tables (constant decks): each
+    # side of a bond gets a record; each angle participant gets the
+    # full (c, l1, l2, type) record
+    b_at1 = np.asarray(state.bond_at1)
+    b_at2 = np.asarray(state.bond_at2)
+    b_t = np.asarray(state.bond_type)
+    live_b = b_t != 0
+    deg = np.zeros(N, np.int64)
+    for a in (b_at1[live_b], b_at2[live_b]):
+        np.add.at(deg, a, 1)
+    B = max(1, int(deg.max()) if live_b.any() else 1)
+    bp = np.full((N, B), -1, np.int32)
+    btp = np.zeros((N, B), np.int32)
+    fill_n = np.zeros(N, np.int64)
+    for me, other in ((b_at1, b_at2), (b_at2, b_at1)):
+        for k in np.flatnonzero(live_b):
+            i = me[k]
+            bp[i, fill_n[i]] = other[k]
+            btp[i, fill_n[i]] = b_t[k]
+            fill_n[i] += 1
+
+    a_c = np.asarray(state.ang_central)
+    a_1 = np.asarray(state.ang_lig1)
+    a_2 = np.asarray(state.ang_lig2)
+    a_t = np.asarray(state.ang_type)
+    live_a = a_t != 0
+    dega = np.zeros(N, np.int64)
+    for a in (a_c[live_a], a_1[live_a], a_2[live_a]):
+        np.add.at(dega, a, 1)
+    A = max(1, int(dega.max()) if live_a.any() else 1)
+    ang = {k: np.full((N, A), f, np.int32)
+           for k, f in (("ang_c", -1), ("ang_l1", -1),
+                        ("ang_l2", -1), ("ang_t", 0))}
+    fill_n[:] = 0
+    for role in (a_c, a_1, a_2):
+        for k in np.flatnonzero(live_a):
+            i = role[k]
+            j = fill_n[i]
+            ang["ang_c"][i, j] = a_c[k]
+            ang["ang_l1"][i, j] = a_1[k]
+            ang["ang_l2"][i, j] = a_2[k]
+            ang["ang_t"][i, j] = a_t[k]
+            fill_n[i] += 1
+
     out = {
         "gid": alloc((), np.int32, -1),
         "types": alloc((), np.int32),
         "pos": alloc((3,), dt), "vel": alloc((3,), dt),
         "frc": alloc((3,), dt),
         "engs": alloc((), dt), "radii": alloc((), dt),
+        "bnd_partner": alloc((B,), np.int32, -1),
+        "bnd_type": alloc((B,), np.int32),
+        "ang_c": alloc((A,), np.int32, -1),
+        "ang_l1": alloc((A,), np.int32, -1),
+        "ang_l2": alloc((A,), np.int32, -1),
+        "ang_t": alloc((A,), np.int32),
     }
     src = {"pos": pos, "vel": np.asarray(state.vel),
            "frc": np.asarray(state.frc),
            "engs": np.asarray(state.engs),
            "radii": np.asarray(state.radii),
            "types": np.asarray(state.types),
-           "gid": np.arange(N, dtype=np.int32)}
+           "gid": np.arange(N, dtype=np.int32),
+           "bnd_partner": bp, "bnd_type": btp, **ang}
     for d in range(n_dev):
         idx = np.flatnonzero(dev_of == d)
         if len(idx) > C:
@@ -222,6 +300,7 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
         mig_lost=np.zeros((), np.int32),
         mig_defer=np.zeros((), np.int32),
         slab_occ=np.zeros((), np.int32),
+        bond_miss=np.zeros((), np.int32),
         **out)
 
     def put(path, leaf):
@@ -297,6 +376,9 @@ def _migrate(cfg, n_dev, nloc, M, st_dict, valid):
             buf[k] = jnp.where(sent_ok, st_dict[k][rows], 0)
         for k in _MIG_F:
             buf[k] = jnp.where(sent_ok[:, None], st_dict[k][rows], 0)
+        for k in _MIG_I2:
+            buf[k] = jnp.where(sent_ok[:, None], st_dict[k][rows],
+                               _TOPO_FILL[k])
         # senders beyond the buffer stay put this step (counted lost)
         overflow = jnp.maximum(n_go - M, 0)
         cleared = go & (jnp.zeros((C,), bool).at[rows].set(
@@ -325,6 +407,9 @@ def _migrate(cfg, n_dev, nloc, M, st_dict, valid):
         st_dict[k] = jnp.where(cleared, 0, st_dict[k])
     for k in _MIG_F:
         st_dict[k] = jnp.where(cleared[:, None], 0, st_dict[k])
+    for k in _MIG_I2:
+        st_dict[k] = jnp.where(cleared[:, None], _TOPO_FILL[k],
+                               st_dict[k])
 
     # insert received atoms into free slots
     rvalid = recv["gid"] >= 0
@@ -335,7 +420,7 @@ def _migrate(cfg, n_dev, nloc, M, st_dict, valid):
     n_free = jnp.sum((~valid).astype(jnp.int32))
     fit = rvalid_s & (jnp.arange(2 * M) < n_free)
     dest = free_first[: 2 * M]
-    for k in _MIG_I + _MIG_F1 + _MIG_F:
+    for k in _MIG_I + _MIG_F1 + _MIG_F + _MIG_I2:
         r = recv[k][rorder]
         old = st_dict[k][dest]
         m = fit if r.ndim == 1 else fit[:, None]
@@ -347,6 +432,113 @@ def _migrate(cfg, n_dev, nloc, M, st_dict, valid):
     n_lost = jnp.maximum(n_recv - n_free, 0)
     n_defer = ov_r + ov_l + n_stray
     return st_dict, valid, n_recv, n_lost, n_defer
+
+
+# ----------------------------------------------------------------------
+def _bonded_pass(cfg, ff, n_dev, st_dict, valid):
+    """Constant bond + angle forces from the per-atom topology records.
+
+    Builds a gid-keyed position table from the local slab plus both
+    neighbor slabs (two ppermutes of the full (C, 3)+gid payload —
+    bond reach <= cell edge <= slab width, so every partner of a local
+    atom lives within one slab) and evaluates each record on its
+    holder: a bond record applies the self-side force and half the
+    energy (both partners hold it); an angle record applies the
+    holder's role share, energy counted by the central atom's owner
+    (cuBonds.cu:709-796 / cuAngles.cu:230-284 semantics without the
+    shared tables).  Returns (frc_add, e_bond, e_angle, n_miss) —
+    n_miss counts records whose partner was NOT in the +-1-slab table
+    (topology stretched beyond a slab: physically broken, surfaced by
+    the runner's slab health check).
+    """
+    from ..ops.bonds import bond_eval
+    from ..ops.pairs import min_image
+
+    N = cfg.n_at
+    pos = st_dict["pos"]
+    gid = st_dict["gid"]
+    dt = pos.dtype
+
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    from_left = (jax.lax.ppermute(pos, AXIS, right),
+                 jax.lax.ppermute(gid, AXIS, right))
+    from_right = (jax.lax.ppermute(pos, AXIS, left),
+                  jax.lax.ppermute(gid, AXIS, left))
+    pos_tab = jnp.zeros((N + 1, 3), dt)
+    present = jnp.zeros((N + 1,), bool)
+    for p, g in ((pos, gid), from_left, from_right):
+        idx = jnp.where(g >= 0, g, N)
+        pos_tab = pos_tab.at[idx].set(p, mode="drop")
+        present = present.at[idx].set(g >= 0, mode="drop")
+    present = present.at[N].set(False)
+
+    frc = jnp.zeros_like(pos)
+    e_bond = jnp.zeros((), dt)
+    e_angle = jnp.zeros((), dt)
+    n_miss = jnp.zeros((), jnp.int32)
+
+    if cfg.use_bnd:
+        bp = st_dict["bnd_partner"]                    # (C, B)
+        bt = st_dict["bnd_type"]
+        live = (bt != 0) & (bp >= 0) & valid[:, None]
+        pidx = jnp.where(live, bp, N)
+        there = live & present[pidx]
+        ppos = pos_tab[pidx]                           # (C, B, 3)
+        delta = min_image(pos[:, None, :] - ppos, cfg)
+        r2 = jnp.where(there, jnp.sum(delta * delta, -1), 1.0)
+        r = jnp.sqrt(r2)
+        kind = jnp.where(there, ff.bond_kind[bt], 0)
+        f, e = bond_eval(kind, ff.bond_p[bt], r2, r,
+                         kinds=cfg.bond_kinds)
+        f = jnp.where(there, f, 0.0)
+        frc = frc + jnp.sum(f[..., None] * delta, axis=1)
+        e_bond = 0.5 * jnp.sum(jnp.where(there, e, 0.0))
+        n_miss = n_miss + jnp.sum((live & ~present[pidx])
+                                  .astype(jnp.int32))
+
+    if cfg.use_angl:
+        ac = st_dict["ang_c"]                          # (C, A)
+        al1 = st_dict["ang_l1"]
+        al2 = st_dict["ang_l2"]
+        at_ = st_dict["ang_t"]
+        live = (at_ != 0) & valid[:, None]
+
+        def getp(g):
+            idx = jnp.where(live & (g >= 0), g, N)
+            return pos_tab[idx], present[idx]
+
+        pc, okc = getp(ac)
+        p1, ok1 = getp(al1)
+        p2, ok2 = getp(al2)
+        ok = live & okc & ok1 & ok2
+        dij = min_image(p1 - pc, cfg)
+        dik = min_image(p2 - pc, cfg)
+        r2ij = jnp.where(ok, jnp.sum(dij * dij, -1), 1.0)
+        r2ik = jnp.where(ok, jnp.sum(dik * dik, -1), 1.0)
+        rij = jnp.sqrt(r2ij)
+        rik = jnp.sqrt(r2ik)
+        k = ff.ang_p[at_, 0]
+        cos0 = ff.ang_p[at_, 1]
+        cos_th = jnp.sum(dij * dik, -1) / (rij * rik)
+        dcos = cos_th - cos0
+        c1 = -k * dcos
+        c2 = 1.0 / (rij * rik)
+        f1 = c1[..., None] * (dik * c2[..., None]
+                              - cos_th[..., None] * dij / r2ij[..., None])
+        f2 = c1[..., None] * (dij * c2[..., None]
+                              - cos_th[..., None] * dik / r2ik[..., None])
+        fc = -(f1 + f2)
+        mine = jnp.where((gid[:, None] == ac)[..., None], fc,
+                         jnp.where((gid[:, None] == al1)[..., None],
+                                   f1, f2))
+        frc = frc + jnp.sum(jnp.where(ok[..., None], mine, 0.0), axis=1)
+        e_angle = jnp.sum(jnp.where(ok & (gid[:, None] == ac),
+                                    0.5 * k * dcos * dcos, 0.0))
+        n_miss = n_miss + jnp.sum((live & ~(okc & ok1 & ok2))
+                                  .astype(jnp.int32))
+
+    return frc, e_bond, e_angle, n_miss
 
 
 # ----------------------------------------------------------------------
@@ -543,6 +735,15 @@ def make_slab_step(cfg, aux, mesh: Mesh):
         valid = st.gid >= 0
         st_dict = {k: getattr(st, k) for k in PER_SLOT}
 
+        # --- [Nose] start-of-step scaling with the PREVIOUS step's
+        # kinetic energy (replicated scalar) — the single-device step
+        # does the same (main.cu:291-299, step.py) ---
+        chit, consint = st.chit, st.consint
+        if cfg.tstat_type == TSTAT_NOSE:
+            v0, _, chit, consint = tstat.nose_apply(
+                cfg, st_dict["vel"], st.energies.kin, chit, consint)
+            st_dict["vel"] = jnp.where(valid[:, None], v0, 0)
+
         # --- verlet 1: pass zeroed accumulators to get pure deltas ---
         nsp = st.cross_pos.shape[0]
         view = _AtomView(pos=st_dict["pos"], vel=st_dict["vel"],
@@ -582,6 +783,19 @@ def make_slab_step(cfg, aux, mesh: Mesh):
         slab_occ = jnp.maximum(st.slab_occ,
                                jax.lax.pmax(occ, AXIS)).astype(jnp.int32)
 
+        # --- constant bonds + angles (per-atom records, gid table) ---
+        e_bond = jnp.zeros((), fdt)
+        e_angle = jnp.zeros((), fdt)
+        bond_miss = st.bond_miss
+        if cfg.use_bnd or cfg.use_angl:
+            bfrc, eb, ea, miss = _bonded_pass(cfg, ff, n_dev,
+                                              st_dict, valid)
+            st_dict["frc"] = st_dict["frc"] + bfrc
+            e_bond = jax.lax.psum(eb, AXIS).astype(fdt)
+            e_angle = jax.lax.psum(ea, AXIS).astype(fdt)
+            bond_miss = (bond_miss
+                         + jax.lax.psum(miss, AXIS)).astype(jnp.int32)
+
         # --- Ewald reciprocal space: partial S(k) per slab, one psum
         # (cuElec.cu:151-382; energy is replicated, forces local) ---
         e_coul2 = jnp.zeros((), fdt)
@@ -606,7 +820,8 @@ def make_slab_step(cfg, aux, mesh: Mesh):
 
         # --- thermostat ---
         eng_temp = jnp.zeros((), fdt)
-        chit, consint, rng = st.chit, st.consint, st.rng
+        rng = st.rng            # chit/consint carry the start-of-step
+        #                         Nose update from above
         if cfg.n_equil and cfg.freq_equil:
             do_scale = (st.step <= cfg.n_equil) & \
                 (st.step % cfg.freq_equil == 0)
@@ -632,12 +847,12 @@ def make_slab_step(cfg, aux, mesh: Mesh):
 
         # --- energies + pressure (replicated scalars) ---
         e_coul3 = jnp.asarray(cfg.eng_ewald_const, fdt)
-        pot = e_coul + e_coul2 + e_coul3 + e_vdw
+        pot = e_coul + e_coul2 + e_coul3 + e_vdw + e_bond + e_angle
         energies = Energies(
             kin=eng_kin.astype(fdt), vdw=e_vdw.astype(fdt),
             coul1=e_coul.astype(fdt),
             coul2=e_coul2.astype(fdt), coul3=e_coul3,
-            bond=jnp.zeros((), fdt), angle=jnp.zeros((), fdt),
+            bond=e_bond, angle=e_angle,
             temp=eng_temp.astype(fdt), field=eng_field.astype(fdt),
             pot=pot.astype(fdt), tot=(pot + eng_kin).astype(fdt))
 
@@ -655,6 +870,7 @@ def make_slab_step(cfg, aux, mesh: Mesh):
             cross_pos=cross_pos, cross_neg=cross_neg,
             mig_total=mig_total, mig_lost=mig_lost,
             mig_defer=mig_defer, slab_occ=slab_occ,
+            bond_miss=bond_miss,
             rng=rng, chit=chit, consint=consint,
             step=st.step + 1, **st_dict)
 

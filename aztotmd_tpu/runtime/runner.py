@@ -652,12 +652,15 @@ class MDRunner:
         g = _slab.gather_state(st, cfg.n_at)
         z = np.zeros((), np.int32)
         nbt = max(cfg.n_bond_types, 1)
+        n_bond = np.asarray(
+            (np.count_nonzero(np.asarray(st.bnd_type)) + 1) // 2,
+            np.int32) if cfg.use_bnd else z
         view = SimpleNamespace(
             energies=st.energies, pos_mom=st.pos_mom,
             neg_mom=st.neg_mom, pressure=st.pressure,
             spec_number=self._slab_spec_number,
             cross_pos=st.cross_pos, cross_neg=st.cross_neg,
-            n_bond=z, bt_count=np.zeros(nbt, np.int32),
+            n_bond=n_bond, bt_count=np.zeros(nbt, np.int32),
             bt_r_mean=np.zeros(nbt, np.float32),
             bt_lt_mean=np.zeros(nbt, np.float32),
             n_jump=z, jump_pos=z, jump_neg=z,
@@ -667,6 +670,16 @@ class MDRunner:
             nbonds=np.zeros(cfg.n_at, np.int32),
             cell_overflow=st.slab_occ, nbr_over=z, nbr_viol=z,
             rdf_over=z, step=st.step)
+        if cfg.use_bnd or cfg.use_angl:
+            # constant topology: the global tables never change, so the
+            # finalize writers (revbonds/revangles/lengths) read them
+            # from the initial MDState
+            t = self._mdstate_template
+            view.bond_at1, view.bond_at2 = t.bond_at1, t.bond_at2
+            view.bond_type = t.bond_type
+            view.ang_central, view.ang_lig1 = t.ang_central, t.ang_lig1
+            view.ang_lig2, view.ang_type = t.ang_lig2, t.ang_type
+            view.n_angle = t.n_angle
         self._sview_cache = (step, view)
         return view
 
@@ -718,6 +731,13 @@ class MDRunner:
                 cfg, grid=CellGrid(dims=g.dims, cap=new_cap,
                                    stencil=g.stencil, edge=g.edge))
             rebuild = True
+        miss = int(st.bond_miss)
+        if miss > getattr(self, "_bond_miss_seen", 0):
+            print(f"WARNING: {miss} bond/angle records had partners "
+                  "outside the +-1-slab reach (stretched topology; "
+                  "their forces were dropped) — the trajectory is "
+                  "suspect", file=sys.stderr)
+            self._bond_miss_seen = miss
         seen = getattr(self, "_slab_mig_seen", (0, 0))
         if (lost, defer) > seen:
             self._slab_mig_seen = (lost, defer)
