@@ -361,3 +361,71 @@ def test_slab_bonded_matches_single_device():
         float(ref.energies.angle), rel=1e-9, abs=1e-12)
     assert float(out.energies.tot) == pytest.approx(
         float(ref.energies.tot), rel=1e-8)
+
+
+def test_slab_sender_overflow_defers_and_conserves_atoms():
+    """Overflow the per-direction migration buffer M: excess senders
+    must STAY PUT (mig_defer) and retry later — never vanish.  With a
+    whole lattice plane crossing at once, delivery takes several steps
+    but every atom survives."""
+    from aztotmd_tpu.parallel import slab
+
+    cfg, ff, state, aux = _slab_system(n_atoms=512, n_dev=4)
+    mesh = make_mesh(4, axis="x")
+    # park 60 atoms a hair short of a slab boundary with a common +x
+    # drift: they ALL cross on the same step, swamping M = C // 8 (~27)
+    pos = np.array(state.pos)
+    vel = np.array(state.vel)
+    bound = cfg.box[0] / 4
+    pos[:60, 0] = bound - 0.01
+    vel[:60, 0] = 20.0
+    state = state.replace(pos=jax.numpy.asarray(pos),
+                          vel=jax.numpy.asarray(vel),
+                          pos0=jax.numpy.asarray(pos.copy()),
+                          nbr_ref=jax.numpy.asarray(pos + 1e9))
+
+    sstate = slab.make_slab_state(cfg, state, mesh)
+    smulti = slab.make_slab_multi_step(cfg, aux, mesh)
+    out = smulti(sstate, ff, 60)
+
+    gid = np.asarray(out.gid)
+    live = gid[gid >= 0]
+    assert len(live) == cfg.n_at          # nothing deleted...
+    assert len(np.unique(live)) == cfg.n_at
+    assert int(out.mig_lost) == 0
+    assert int(out.mig_defer) > 0         # ...but the buffer DID overflow
+    assert int(out.mig_total) > 100
+
+
+def test_runner_slab_health_reacts_to_loss_and_occupancy(tmp_path):
+    """The runner's slab health check must grow capacity and
+    redistribute on migration deletion, and grow grid.cap on cell
+    overflow (the slab analog of the single-chip auto-grow,
+    VERDICT r2 item 6)."""
+    import dataclasses
+    from aztotmd_tpu.runtime.runner import MDRunner
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+
+    deck = tmp_path / "deck"
+    deck.mkdir()
+    _write_lj_deck(str(deck), steps=200)
+    r = MDRunner(load_deck_dir(str(deck), dtype="f32"),
+                 out_dir=str(tmp_path / "out"), quiet=True,
+                 mesh_devices=4)
+    C0 = r.state.pos.shape[0]
+    cap0 = r.cfg.grid.cap
+    n_live0 = int(np.sum(np.asarray(r.state.gid) >= 0))
+
+    # simulate a migration deletion + a cell overflow having happened
+    r.state = r.state.replace(mig_lost=np.int32(3),
+                              slab_occ=np.int32(cap0 + 5))
+    r._check_slab_health()
+
+    assert r.cfg.grid.cap > cap0                  # grid cap grew
+    assert r.state.pos.shape[0] > C0              # slot capacity grew
+    # redistribution preserved every live atom
+    assert int(np.sum(np.asarray(r.state.gid) >= 0)) == n_live0
+    assert int(r.state.mig_lost) == 0             # fresh counters
+    # and the run continues fine at the new capacity
+    r.run(100)
+    assert int(r.state.mig_lost) == 0
