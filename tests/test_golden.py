@@ -67,3 +67,41 @@ def test_case2_short_run_energies(case2_dir):
     assert np.isfinite(e["tot"])
 
 
+
+
+def test_case1_1000step_ring_stat_and_rdf_digest(case1_dir, tmp_path):
+    """Deep regression guard (VERDICT r2 item 8): 1000 steps of case
+    study 1 through the PRODUCTION ring-mode runner, pinned against
+    the stat.dat rows and rdf.dat histogram as written to disk — any
+    silent change to step physics, the on-device stat ring layout, RDF
+    sampling, or writer formats trips this."""
+    from aztotmd_tpu.runtime.runner import MDRunner
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+
+    sysd = load_deck_dir(case1_dir, dtype="f32", seed=12345)
+    r = MDRunner(sysd, out_dir=str(tmp_path), quiet=True)
+    assert r.ring_ok                      # the production path
+    r.run(1000)
+    r.finalize()
+
+    s = np.loadtxt(tmp_path / "stat.dat", skiprows=2)
+    assert s.shape == (5, 15)             # stat every 200 steps
+    # (time, step, engTot, engKin, engVdW, C1, C2, engTerm) checkpoints
+    pinned = {
+        0: (0.2, 200, 0.002149, 0.002149, 0.0, 572.174133),
+        2: (0.6, 600, 0.006136, 0.006136, 0.0, 572.174072),
+        4: (1.0, 1000, 0.010041, 0.010041, 0.0, 572.174194),
+    }
+    for row, (t, st, tot, kin, vdw, term) in pinned.items():
+        assert s[row, 0] == pytest.approx(t, abs=1e-9)
+        assert s[row, 1] == st
+        assert s[row, 2] == pytest.approx(tot, abs=3e-6)
+        assert s[row, 3] == pytest.approx(kin, abs=3e-6)
+        assert s[row, 4] == pytest.approx(vdw, abs=1e-9)
+        assert s[row, 7] == pytest.approx(term, rel=1e-5)
+
+    g = np.loadtxt(tmp_path / "rdf.dat", skiprows=2)
+    assert g.shape == (699, 2)
+    assert float(g[:, 1].sum()) == pytest.approx(481.961, rel=1e-4)
+    assert int(g[:, 1].argmax()) == 309
+    assert float(g[:, 1].max()) == pytest.approx(2.369089, rel=1e-4)
