@@ -573,7 +573,14 @@ def pair_forces_pallas(cfg, ff, pos, types, radii=None, parents=None,
     """Pallas fast path: the dense O(N^2) kernel when it undercuts the
     modeled block cost (incl. fused reactive candidates), the stacked
     cell-block kernel otherwise; XLA block engine for the reactive
-    stacked case."""
+    stacked case.  f64 validation mode always takes the XLA engines:
+    the Mosaic kernels compute in f32 (one ulp of a large energy sum
+    showed up as a 2.0 eV "discrepancy" in an f64 oracle run)."""
+    if jnp.dtype(pos.dtype) == jnp.dtype(jnp.float64):
+        from .cellblock import pair_forces_block
+        return pair_forces_block(cfg, ff, pos, types, radii=radii,
+                                 parents=parents, want_bind=want_bind,
+                                 want_jump=want_jump)
     # dense/clustered decks: the tiled O(N^2) kernel beats any cell
     # decomposition when padded N^2 is below the modeled block cost
     g = cfg.grid
