@@ -38,8 +38,14 @@ def main(argv=None):
                    help="capture a JAX profiler trace into LOG_DIR and "
                         "print per-stage timings")
     r.add_argument("--mesh", type=int, default=0, metavar="N",
-                   help="run slab-decomposed over an N-device mesh "
-                        "(parallel/slab.py); non-reactive decks only")
+                   help="run over an N-device mesh (see --mesh-mode)")
+    r.add_argument("--mesh-mode", choices=("slab", "atoms"),
+                   default="slab",
+                   help="slab: spatial decomposition with migration "
+                        "(non-reactive/constant-topology decks, scales "
+                        "compute AND memory); atoms: atom-sharded with "
+                        "XLA-propagated collectives (full feature set "
+                        "incl. reactive topology)")
     r.add_argument("--no-bond-equil-hack", action="store_true",
                    help="disable the reference's reactive-bond "
                         "velocity-zeroing equilibration hack "
@@ -71,7 +77,8 @@ def main(argv=None):
                           profile=args.profile is not None,
                           debug=args.debug,
                           append=args.resume is not None,
-                          mesh_devices=args.mesh)
+                          mesh_devices=args.mesh,
+                          mesh_mode=args.mesh_mode)
         if args.profile:
             from .utils import trace
             with trace(args.profile):

@@ -41,10 +41,11 @@ class MDRunner:
     def __init__(self, sysd: dict, out_dir: str = ".", quiet: bool = False,
                  checkpoint_every: int = 0, profile: bool = False,
                  debug: bool = False, append: bool = False,
-                 mesh_devices: int = 0):
+                 mesh_devices: int = 0, mesh_mode: str = "slab"):
         self.cfg = sysd["cfg"]
         self.mesh = None
-        if mesh_devices:
+        self._atoms_mesh = None
+        if mesh_devices and mesh_mode == "slab":
             # slab decomposition over a device mesh (parallel/slab.py):
             # the deck's cfg is re-gridded to the 27-point block stencil
             # with ncx divisible by the mesh, the state is distributed
@@ -54,6 +55,23 @@ class MDRunner:
             self.cfg = _slab.prepare_slab_cfg(self.cfg, mesh_devices)
             sysd = dict(sysd, cfg=self.cfg)
             self.mesh = make_mesh(mesh_devices, axis="x")
+        elif mesh_devices:
+            # atom-sharded mode (parallel/mesh.py): per-atom arrays are
+            # sharded over the mesh and XLA propagates the shardings
+            # through the UNCHANGED programs (all-gathers for the cell
+            # tables, psums for reductions).  Covers the FULL feature
+            # set incl. reactive topology — the scaling trade-off vs
+            # slab mode is replicated cell machinery
+            if mesh_mode != "atoms":
+                raise ValueError(f"unknown mesh_mode {mesh_mode!r} "
+                                 "(use 'slab' or 'atoms')")
+            if self.cfg.n_at % mesh_devices:
+                raise ValueError(
+                    f"n_at={self.cfg.n_at} not divisible by mesh size "
+                    f"{mesh_devices} (atom-sharded mode needs equal "
+                    "shards)")
+            from ..parallel import make_mesh
+            self._atoms_mesh = make_mesh(mesh_devices)
         self.ff = sysd["ff"]
         self.state = sysd["state"]
         self.aux = sysd["aux"]
@@ -195,6 +213,13 @@ class MDRunner:
                 self.nhist = jnp.asarray(np.zeros((1,), np.float32))
 
         self._build_programs()
+
+        if self._atoms_mesh is not None:
+            # place the state/ff shards; every jitted program picks the
+            # shardings up from its inputs (scaling-book recipe)
+            from ..parallel.mesh import shard_system
+            self.state, self.ff, _, _ = shard_system(
+                self._atoms_mesh, self.state, self.ff, cfg.n_at)
 
         if self.mesh is not None:
             # distribute the freshly-built (or resumed) MDState by
