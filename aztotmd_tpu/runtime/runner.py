@@ -455,10 +455,21 @@ class MDRunner:
         p = self.p_stat
         pending = None
         try:
+            # n_samp is a STATIC scan length: every distinct value
+            # compiles its own ring program, and a ring containing a
+            # Mosaic kernel costs ~30 min per compile over the axon
+            # tunnel (measured on cs2).  Pick ONE window size that
+            # divides every host-event gap (gcd of the host periods,
+            # the total, and the resume point, in samples), capped at
+            # s_cap — every dispatch then reuses the same program.
+            w = _gcd_all(list(self._host_periods) + [total, done])
+            w_samp = (w // p) if (w and w % p == 0) else 1
+            n_fix = max(d for d in range(1, min(self.s_cap, w_samp) + 1)
+                        if w_samp % d == 0)
             while done < total:
                 nxt = self._next_host_event(done, total)
                 while (nxt - done) >= p:
-                    n_samp = min(self.s_cap, (nxt - done) // p)
+                    n_samp = n_fix
                     if self.profile:
                         with self.timer.stage("steps",
                                               lambda: self.state.pos):
