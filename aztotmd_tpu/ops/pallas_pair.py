@@ -59,10 +59,12 @@ def _vdw_pair(kind, r2i, ri, rr, p, ra=None, rb=None):
         e = p0 * sr6 * (sr6 - 1.0)
         f = p2 * r2i * sr6 * (2.0 * sr6 - 1.0)
     elif kind == VDW_BUCK:
+        # p1 holds rho; the exponent is -r/rho (ops.vdw._safe)
+        ip1 = 1.0 / p1
         r6i = r2i * r2i * r2i
-        ex = jnp.exp(-rr * p1)
+        ex = jnp.exp(-rr * ip1)
         e = p0 * ex - p2 * r6i
-        f = p0 * ex * ri * p1 - 6.0 * p2 * r6i * r2i
+        f = p0 * ex * ri * ip1 - 6.0 * p2 * r6i * r2i
     elif kind == VDW_746:
         r4i = r2i * r2i
         e = r4i * (p0 * r2i * ri - p1 - p2 * r2i)
@@ -73,13 +75,15 @@ def _vdw_pair(kind, r2i, ri, rr, p, ra=None, rb=None):
         e = p0 * ex - p3 * r6i - p4 * r6i * r2i
         f = p0 * p1 * ex * ri - 6.0 * p3 * r6i * r2i - 8.0 * p4 * r6i * r2i * r2i
     elif kind == VDW_ELIN:
-        ex = jnp.exp(-rr * p1)
+        ip1 = 1.0 / p1
+        ex = jnp.exp(-rr * ip1)
         e = p0 * ex + p2 * rr
-        f = p0 * ex * ri * p1 - p2 * ri
+        f = p0 * ex * ri * ip1 - p2 * ri
     elif kind == VDW_EINV:
-        ex = jnp.exp(-rr * p1)
+        ip1 = 1.0 / p1
+        ex = jnp.exp(-rr * ip1)
         e = p0 * ex - p2 * ri
-        f = p0 * ex * ri * p1 - p2 * ri * r2i
+        f = p0 * ex * ri * ip1 - p2 * ri * r2i
     elif kind == VDW_SURK:
         r6i = r2i * r2i * r2i
         c2sum = p1 / (p2 * ra + p3 * rb)

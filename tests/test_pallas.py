@@ -92,6 +92,74 @@ def test_allpairs_kernel_matches_oracle(nsp, elec, radii):
                                                    rel=1e-4, abs=1e-6)
 
 
+_FAMILY_PARAMS = {
+    # pre-scaled params per family (parse-time conventions of
+    # io/field.py:_read_vdw_line; LJ: p0=4e, p1=s^2, p2=24e)
+    "lnjs": dict(p0=4 * 0.01, p1=3.4 * 3.4, p2=24 * 0.01),
+    "buck": dict(p0=1200.0, p1=0.31, p2=27.88),
+    "p746": dict(p0=100.0, p1=5.0, p2=20.0),
+    "bmhs": dict(p0=300.0, p1=3.0, p2=2.5, p3=50.0, p4=100.0),
+    "elin": dict(p0=500.0, p1=0.30, p2=2.0),
+    "einv": dict(p0=500.0, p1=0.30, p2=5.0),
+}
+
+
+@pytest.mark.parametrize("fam", sorted(_FAMILY_PARAMS))
+def test_allpairs_kernel_every_vdw_family(fam):
+    """Every VdW family through the dense Pallas kernel vs the oracle.
+
+    Regression: the kernel's buck/elin/einv exponent used
+    exp(-r * rho) where the engine convention stores p1 = rho and
+    evaluates exp(-r / rho) (ops/vdw.py:_safe) — a 10^5x energy error
+    on any Buckingham deck (examples/ejump_redox) that the LJ/Surkov
+    fixtures never exercised."""
+    import jax.numpy as jnp
+    from aztotmd_tpu import units
+    from aztotmd_tpu.core.config import build_sim_config
+    from aztotmd_tpu.core.ffield import build_forcefield
+    from aztotmd_tpu.io.control import ControlSpec, ElecSpec, TStatSpec
+    from aztotmd_tpu.io.field import (_VDW_ABBR, FieldSpec, SpeciesSpec,
+                                      VdWSpec)
+
+    rng = np.random.default_rng(5)
+    box = 24.0
+    n_side = 7
+    g = (np.arange(n_side) + 0.5) * (box / n_side)
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    pos += rng.uniform(-0.5, 0.5, pos.shape)          # min sep ~2.4 A
+    n = len(pos)
+    f = FieldSpec()
+    f.species = [SpeciesSpec(name="S0", nuclei=0,
+                             mass=39.9 * units.M_SCALE, charge=0.0,
+                             energy=0.0)]
+    f.nnames = ["S0"]
+    f.nnumbers = [0]
+    rcut = 5.0
+    pp = VdWSpec(type=_VDW_ABBR[fam], spec1=0, spec2=0,
+                 r2cut=rcut * rcut, **_FAMILY_PARAMS[fam])
+    f.pairpots = [pp]
+    f.vdw_index = [[0]]
+    f.maxRvdw = rcut
+    ctl = ControlSpec(t_step=0.001, n_step=1,
+                      tstat=TStatSpec(type=0, temp=100.0),
+                      elec=ElecSpec(type=0, r_real=rcut))
+    cfg = build_sim_config(ctl, f, (box, box, box), n,
+                           dtype="f32", pos=pos, pair_engine="pallas")
+    ff = build_forcefield(f, ctl.t_step, dtype=np.float32)
+    pos_j = jnp.asarray(pos, jnp.float32)
+    types_j = jnp.zeros((n,), jnp.int32)
+    pr = jax.jit(lambda p, t: pair_forces_allpairs(
+        cfg, ff, p, t, interpret=True))(pos_j, types_j)
+    orc = ops_pairs.all_pairs_forces(cfg, ff, pos_j, types_j)
+    scale = float(np.abs(np.asarray(orc.frc)).max()) or 1.0
+    np.testing.assert_allclose(np.asarray(pr.frc), np.asarray(orc.frc),
+                               rtol=0, atol=3e-5 * scale)
+    assert float(pr.eng_vdw) == pytest.approx(float(orc.eng_vdw),
+                                              rel=1e-4, abs=1e-6)
+    assert abs(float(orc.eng_vdw)) > 1e-3      # family actually active
+
+
 def test_allpairs_multitile_accumulation():
     """N spanning several (T, T) tiles exercises the j-axis revisiting
     accumulation path."""
