@@ -9,6 +9,7 @@ directory, runs the simulation, writes the output files.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -57,7 +58,16 @@ def main(argv=None):
     b.add_argument("--warmup", type=int, default=20)
     b.add_argument("--dtype", choices=("f32", "f64"), default="f32")
 
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin "
+                        "ignores JAX_PLATFORMS; combine with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_"
+                        "count=N for a virtual mesh)")
     args = p.parse_args(argv)
+
+    if args.cpu or os.environ.get("AZTOTMD_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.cmd == "run":
         from .runtime.runner import MDRunner

@@ -83,7 +83,7 @@ def refresh_angles(cfg, ff, state):
     # 4. compact survivors + append candidates (clear_angles + atomicAdd)
     dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
     dest = jnp.where(keep, dest, mxA)
-    n_keep = jnp.sum(keep.astype(jnp.int32))
+    n_keep = jnp.sum(keep, dtype=jnp.int32)
 
     def mv(a):
         return jnp.zeros_like(a).at[dest].set(a, mode="drop")
@@ -104,7 +104,7 @@ def refresh_angles(cfg, ff, state):
     ang_2 = ang_2.at[slot].set(lj.reshape(-1), mode="drop")
     ang_t = ang_t.at[slot].set(t_rows, mode="drop")
 
-    n_angle = jnp.minimum(n_keep + jnp.sum(flat_ok.astype(jnp.int32)),
+    n_angle = jnp.minimum(n_keep + jnp.sum(flat_ok, dtype=jnp.int32),
                           mxA)
     return state.replace(ang_central=ang_c, ang_lig1=ang_1, ang_lig2=ang_2,
                          ang_type=ang_t, n_angle=n_angle)

@@ -292,7 +292,7 @@ def compact_bonds(cfg, state):
     return state.replace(
         bond_at1=mv(state.bond_at1), bond_at2=mv(state.bond_at2),
         bond_type=mv(bt), bond_start=mv(state.bond_start),
-        n_bond=jnp.sum(live.astype(jnp.int32)))
+        n_bond=jnp.sum(live, dtype=jnp.int32))
 
 
 def create_bonds(cfg, ff, state, bind_idx, bind_r2):
@@ -349,7 +349,7 @@ def create_bonds(cfg, ff, state, bind_idx, bind_r2):
     bond_at2 = state.bond_at2.at[tgt].set(id2, mode="drop")
     bond_type = state.bond_type.at[tgt].set(bt_abs, mode="drop")
     bond_start = state.bond_start.at[tgt].set(state.step, mode="drop")
-    n_new = jnp.sum(ok.astype(jnp.int32))
+    n_new = jnp.sum(ok, dtype=jnp.int32)
 
     types = state.types
     types = types.at[jnp.where(ok, id1, N)].set(

@@ -159,6 +159,51 @@ def pair_forces(cfg, ff, pos, types, radii=None, parents=None,
                       jump_idx=jump_idx, jump_r2=jump_r2)
 
 
+def bind_jump_candidates(cfg, ff, pos, types, parents=None,
+                         want_bind=True, want_jump=True):
+    """Standalone bind/jump candidate selection over the cell-list
+    candidate matrix (the try_to_bind/try_to_jump registrations of
+    pair_1, cuPairs.cu:117-167, without the force work).
+
+    Used by the slab engine's reactive path: candidate selection is a
+    pure function of (pos, types, parents), so running it replicated on
+    every device from the psum-assembled global position table yields
+    bit-identical candidates everywhere — the deterministic analog of
+    the reference's atomicMin registration."""
+    N = cfg.n_at
+    dt = pos.dtype
+    nsp = cfg.n_spec
+    coords = cl.cell_coords(cfg, pos)
+    table, _ = cl.build_cell_table(cfg, pos)
+    cand = cl.gather_candidates(cfg, table, coords)       # (N, M)
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)], axis=0)
+    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
+    r2 = jnp.sum(delta * delta, axis=-1)
+    own = jnp.arange(N, dtype=jnp.int32)[:, None]
+    valid = (cand != N) & (cand != own)
+    tj = types_p[cand]
+    ti = types[:, None]
+    if want_bind:
+        tpair = ti * nsp + tj
+        can = (ff.bonding_matr.reshape(-1)[tpair] != 0) & valid \
+            & (r2 <= ff.bind_r2.reshape(-1)[tpair])
+        if parents is not None:
+            par_p = jnp.concatenate([parents, -jnp.ones((1,), jnp.int32)])
+            can = can & (parents[:, None] != cand) & (par_p[cand] != own)
+        bind_idx, bind_r2 = _row_argmin(cand, r2, can, N)
+    else:
+        bind_idx = jnp.full((N,), N, jnp.int32)
+        bind_r2 = jnp.full((N,), jnp.inf, dt)
+    if want_jump:
+        jump_idx, jump_r2 = _jump_candidates(cfg, ff, types, tj, cand,
+                                             r2, valid)
+    else:
+        jump_idx = jnp.full((N,), N, jnp.int32)
+        jump_r2 = jnp.full((N,), jnp.inf, dt)
+    return bind_idx, bind_r2, jump_idx, jump_r2
+
+
 def _jump_candidates(cfg, ff, types, tj, cand, r2, valid):
     """Per-role e-jump candidate selection (try_to_jump semantics,
     cuEjump.cu:39-76): a donor row stores its nearest ACCEPTOR — one

@@ -20,10 +20,10 @@ identical to the single-device engine because its noise is keyed by
 
 Scope: pair potentials incl. Surkov radii, direct/Fennel/full-Ewald
 electrostatics (the recip sum is a per-slab partial S(k) + one psum),
-all thermostats, and CONSTANT bonds/angles (per-atom topology records
-that migrate with their atoms; see _bonded_pass).  REACTIVE topology
-(variable bonds/angles, e-jumps) runs single-chip or atom-sharded
-(parallel/mesh.py).
+all thermostats, CONSTANT bonds/angles (per-atom topology records
+that migrate with their atoms; see _bonded_pass), and REACTIVE
+topology (variable bonds/angles, e-jumps) via the replicated-tables /
+sharded-geometry design of parallel/slab_react.py.
 
 Empty-slot invariant: gid == -1 marks a free slot; its pos/vel/frc/
 engs are all-zero and every stage preserves that.
@@ -104,6 +104,9 @@ class SlabState:
     #                       was outside the +-1-slab position table
     #                       (stretched topology; forces silently
     #                       dropped — surfaced by the runner)
+    # --- reactive decks only: replicated topology tables (None for
+    #     constant-topology decks; see parallel/slab_react.py) ---
+    rg: object = None
 
     def replace(self, **kw) -> "SlabState":
         return dataclasses.replace(self, **kw)
@@ -141,11 +144,14 @@ def check_slab_cfg(cfg, n_dev: int):
                                  for o in off):
         raise ValueError("slab decomposition needs a 27-point stencil "
                          "(cell edge >= cutoff, >= 3 cells per axis)")
-    if cfg.use_bnd == 2 or cfg.use_angl == 2 or cfg.ejtype:
-        raise ValueError("slab mode covers constant topology; "
-                         "REACTIVE decks (variable bonds/angles, "
-                         "e-jumps) run single-chip or atom-sharded "
-                         "(parallel/mesh.py)")
+    from .slab_react import reactive_mode
+    if (reactive_mode(cfg) and cfg.ejtype and not cfg.use_bnd
+            and cfg.n_at > 8192):
+        # bond-free ejump decks use the serial-twin environment-dU
+        # all-pairs sweep (ops/ejump.py:_env_mutation_energies), which
+        # the replicated reactive path evaluates on every device
+        raise ValueError("slab mode limits bond-free ejump decks to "
+                         "8192 atoms (replicated all-pairs dU)")
 
 
 def prepare_slab_cfg(cfg, n_dev: int):
@@ -176,9 +182,9 @@ def prepare_slab_cfg(cfg, n_dev: int):
     return cfg
 
 
-def state_specs(mesh: Mesh):
+def state_specs(mesh: Mesh, reactive: bool = False):
     """PartitionSpec pytree for SlabState: slot arrays split over the
-    slab axis, scalars replicated."""
+    slab axis, scalars (incl. the reactive topology tables) replicated."""
     def spec(field):
         if field.name in PER_SLOT:
             return P(AXIS)
@@ -186,6 +192,8 @@ def state_specs(mesh: Mesh):
     specs = {f.name: spec(f) for f in dataclasses.fields(SlabState)}
     specs["energies"] = Energies(*[P()] * len(
         dataclasses.fields(Energies)))
+    from .slab_react import globals_spec
+    specs["rg"] = globals_spec() if reactive else None
     return SlabState(**specs)
 
 
@@ -211,13 +219,19 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
     def alloc(shape, dtype, fill=0):
         return np.full((n_dev * C,) + shape, fill, dtype)
 
+    # reactive decks: topology stays in the replicated global tables
+    # (slab_react.ReactiveGlobals); the per-atom records are 1-wide
+    # dummies so the migration payload stays small
+    from .slab_react import make_globals, reactive_mode
+    reactive = reactive_mode(cfg)
+
     # per-atom topology from the global tables (constant decks): each
     # side of a bond gets a record; each angle participant gets the
     # full (c, l1, l2, type) record
     b_at1 = np.asarray(state.bond_at1)
     b_at2 = np.asarray(state.bond_at2)
     b_t = np.asarray(state.bond_type)
-    live_b = b_t != 0
+    live_b = (b_t != 0) & (not reactive)
     deg = np.zeros(N, np.int64)
     for a in (b_at1[live_b], b_at2[live_b]):
         np.add.at(deg, a, 1)
@@ -236,7 +250,7 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
     a_1 = np.asarray(state.ang_lig1)
     a_2 = np.asarray(state.ang_lig2)
     a_t = np.asarray(state.ang_type)
-    live_a = a_t != 0
+    live_a = (a_t != 0) & (not reactive)
     dega = np.zeros(N, np.int64)
     for a in (a_c[live_a], a_1[live_a], a_2[live_a]):
         np.add.at(dega, a, 1)
@@ -301,6 +315,7 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
         mig_defer=np.zeros((), np.int32),
         slab_occ=np.zeros((), np.int32),
         bond_miss=np.zeros((), np.int32),
+        rg=make_globals(state) if reactive else None,
         **out)
 
     def put(path, leaf):
@@ -731,6 +746,9 @@ def make_slab_step(cfg, aux, mesh: Mesh):
         raise ValueError("Ewald deck needs aux.rk/kweights "
                          "(runtime.setup builds them)")
 
+    from .slab_react import reactive_mode, reactive_pass
+    reactive = reactive_mode(cfg)
+
     def local_step(st: SlabState, ff):
         valid = st.gid >= 0
         st_dict = {k: getattr(st, k) for k in PER_SLOT}
@@ -774,6 +792,19 @@ def make_slab_step(cfg, aux, mesh: Mesh):
         mig_defer = (st.mig_defer
                      + jax.lax.psum(n_defer, AXIS)).astype(jnp.int32)
 
+        # --- reactive topology, pre-pair stage: bond forces + repair/
+        # mutation on the replicated global view (mirrors step.py's
+        # apply_bonds-before-pair order so type mutations feed the
+        # pair pass exactly like single-chip) ---
+        rg = st.rg
+        rng = st.rng
+        e_bond = jnp.zeros((), fdt)
+        e_angle = jnp.zeros((), fdt)
+        if reactive:
+            stage2, frc_b, e_bond, st_dict, rg = reactive_pass(
+                cfg, ff, cfg.n_at, st_dict, valid, rg, rng, st.step)
+            st_dict["frc"] = st_dict["frc"] + frc_b
+
         # --- pair pass on the extended slab ---
         pfrc, e_vdw, e_coul, occ = _pair_pass(cfg, ff, n_dev,
                                               st_dict, valid)
@@ -784,10 +815,8 @@ def make_slab_step(cfg, aux, mesh: Mesh):
                                jax.lax.pmax(occ, AXIS)).astype(jnp.int32)
 
         # --- constant bonds + angles (per-atom records, gid table) ---
-        e_bond = jnp.zeros((), fdt)
-        e_angle = jnp.zeros((), fdt)
         bond_miss = st.bond_miss
-        if cfg.use_bnd or cfg.use_angl:
+        if (cfg.use_bnd or cfg.use_angl) and not reactive:
             bfrc, eb, ea, miss = _bonded_pass(cfg, ff, n_dev,
                                               st_dict, valid)
             st_dict["frc"] = st_dict["frc"] + bfrc
@@ -808,6 +837,18 @@ def make_slab_step(cfg, aux, mesh: Mesh):
             st_dict["frc"] = st_dict["frc"] + \
                 jnp.where(valid[:, None], frc_r, 0.0)
 
+        # --- reactive topology, post-pair stage: create_bonds ->
+        # e-jumps -> angles on the replicated view (step.py order) ---
+        if reactive:
+            frc_post, e_angle, rg, rng = stage2(rg, rng)
+            st_dict["frc"] = st_dict["frc"] + frc_post
+            st_dict["types"] = jnp.where(
+                valid, rg.types[jnp.clip(st_dict["gid"], 0, cfg.n_at - 1)],
+                0)
+            if cfg.use_bnd:
+                from ..ops.bonds import bond_means as _bond_means
+                rg = _bond_means(cfg, rg)
+
         # --- verlet 2 (global kinetic energy) ---
         vel, _ = integ.verlet2(cfg, ff, st_dict["vel"], st_dict["frc"],
                                st_dict["types"])
@@ -820,8 +861,8 @@ def make_slab_step(cfg, aux, mesh: Mesh):
 
         # --- thermostat ---
         eng_temp = jnp.zeros((), fdt)
-        rng = st.rng            # chit/consint carry the start-of-step
-        #                         Nose update from above
+        # rng was threaded through the reactive pass (Metropolis
+        # splits); chit/consint carry the start-of-step Nose update
         if cfg.n_equil and cfg.freq_equil:
             do_scale = (st.step <= cfg.n_equil) & \
                 (st.step % cfg.freq_equil == 0)
@@ -870,11 +911,11 @@ def make_slab_step(cfg, aux, mesh: Mesh):
             cross_pos=cross_pos, cross_neg=cross_neg,
             mig_total=mig_total, mig_lost=mig_lost,
             mig_defer=mig_defer, slab_occ=slab_occ,
-            bond_miss=bond_miss,
+            bond_miss=bond_miss, rg=rg,
             rng=rng, chit=chit, consint=consint,
             step=st.step + 1, **st_dict)
 
-    specs = state_specs(mesh)
+    specs = state_specs(mesh, reactive=reactive)
     ff_specs = None  # replicated
 
     def step(st, ff):
@@ -891,7 +932,6 @@ def make_slab_multi_step(cfg, aux, mesh: Mesh):
     """n-step scanned slab loop (n static)."""
     n_dev = mesh.devices.size
     check_slab_cfg(cfg, n_dev)
-    specs = state_specs(mesh)
     nloc = cfg.grid.dims[0] // n_dev
     _, M = slab_caps(cfg, n_dev)
     step1 = make_slab_step(cfg, aux, mesh)

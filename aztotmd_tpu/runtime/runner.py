@@ -688,25 +688,47 @@ class MDRunner:
         g = _slab.gather_state(st, cfg.n_at)
         z = np.zeros((), np.int32)
         nbt = max(cfg.n_bond_types, 1)
-        n_bond = np.asarray(
-            (np.count_nonzero(np.asarray(st.bnd_type)) + 1) // 2,
-            np.int32) if cfg.use_bnd else z
+        rg = st.rg
+        if rg is not None:
+            n_bond = rg.n_bond
+        elif cfg.use_bnd:
+            n_bond = np.asarray(
+                (np.count_nonzero(np.asarray(st.bnd_type)) + 1) // 2,
+                np.int32)
+        else:
+            n_bond = z
         view = SimpleNamespace(
             energies=st.energies, pos_mom=st.pos_mom,
             neg_mom=st.neg_mom, pressure=st.pressure,
-            spec_number=self._slab_spec_number,
+            spec_number=(rg.spec_number if rg is not None
+                         else self._slab_spec_number),
             cross_pos=st.cross_pos, cross_neg=st.cross_neg,
-            n_bond=n_bond, bt_count=np.zeros(nbt, np.int32),
-            bt_r_mean=np.zeros(nbt, np.float32),
-            bt_lt_mean=np.zeros(nbt, np.float32),
-            n_jump=z, jump_pos=z, jump_neg=z,
+            n_bond=n_bond,
+            bt_count=(rg.bt_count if rg is not None
+                      else np.zeros(nbt, np.int32)),
+            bt_r_mean=(rg.bt_r_mean if rg is not None
+                       else np.zeros(nbt, np.float32)),
+            bt_lt_mean=(rg.bt_lt_mean if rg is not None
+                        else np.zeros(nbt, np.float32)),
+            n_jump=rg.n_jump if rg is not None else z,
+            jump_pos=rg.jump_pos if rg is not None else z,
+            jump_neg=rg.jump_neg if rg is not None else z,
             pos=g["pos"], vel=g["vel"], types=g["types"],
             engs=g["engs"], radii=g["radii"],
-            parents=np.full(cfg.n_at, -1, np.int32),
-            nbonds=np.zeros(cfg.n_at, np.int32),
+            parents=(rg.parents if rg is not None
+                     else np.full(cfg.n_at, -1, np.int32)),
+            nbonds=(rg.nbonds if rg is not None
+                    else np.zeros(cfg.n_at, np.int32)),
             cell_overflow=st.slab_occ, nbr_over=z, nbr_viol=z,
             rdf_over=z, step=st.step)
-        if cfg.use_bnd or cfg.use_angl:
+        if rg is not None:
+            # reactive topology: the live replicated tables
+            view.bond_at1, view.bond_at2 = rg.bond_at1, rg.bond_at2
+            view.bond_type = rg.bond_type
+            view.ang_central, view.ang_lig1 = rg.ang_central, rg.ang_lig1
+            view.ang_lig2, view.ang_type = rg.ang_lig2, rg.ang_type
+            view.n_angle = rg.n_angle
+        elif cfg.use_bnd or cfg.use_angl:
             # constant topology: the global tables never change, so the
             # finalize writers (revbonds/revangles/lengths) read them
             # from the initial MDState
@@ -728,6 +750,12 @@ class MDRunner:
         g = _slab.gather_state(st, self.cfg.n_at)
         npdt = np.dtype(self.cfg.jnp_dtype)
         t = self._mdstate_template
+        if st.rg is not None:
+            # reactive decks: the live replicated topology supersedes
+            # the template's initial tables (types come from the
+            # gathered slots, which local_step keeps in sync)
+            from ..parallel.slab_react import merge_into_state
+            t = merge_into_state(t, st.rg)
         return t.replace(
             pos=jnp.asarray(g["pos"].astype(npdt)),
             vel=jnp.asarray(g["vel"].astype(npdt)),
