@@ -38,6 +38,10 @@ def main(argv=None):
     r.add_argument("--profile", default=None, metavar="LOG_DIR",
                    help="capture a JAX profiler trace into LOG_DIR and "
                         "print per-stage timings")
+    r.add_argument("--timings", action="store_true",
+                   help="print per-stage wall-clock timings without the "
+                        "profiler trace (trace capture over the axon "
+                        "tunnel costs ~10 ms/step by itself)")
     r.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="run over an N-device mesh (see --mesh-mode)")
     r.add_argument("--mesh-mode", choices=("slab", "atoms"),
@@ -84,7 +88,7 @@ def main(argv=None):
                   f"{int(sysd['state'].step)}", file=sys.stderr)
         runner = MDRunner(sysd, out_dir=args.out, quiet=args.quiet,
                           checkpoint_every=args.checkpoint_every,
-                          profile=args.profile is not None,
+                          profile=args.profile is not None or args.timings,
                           debug=args.debug,
                           append=args.resume is not None,
                           mesh_devices=args.mesh,

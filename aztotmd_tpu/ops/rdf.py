@@ -135,6 +135,11 @@ def _hist_counts(flat, n_slot: int, dtype):
     use_compare = (ids.size > (8 << 20)
                    and jax.default_backend() != "cpu")
     if use_compare:
+        # materialize the ids ONCE: without the barrier XLA fuses the
+        # whole upstream id pipeline (N^2 distances, sqrt, bin index)
+        # into the reduce over EACH slot tile, recomputing it n_slot/8
+        # times (~260 ms/sample on cs2 vs ~7 ms with the barrier)
+        ids = jax.lax.optimization_barrier(ids)
         slots = jnp.arange(n_slot, dtype=jnp.int32)
         return jnp.sum((ids[None, :] == slots[:, None]).astype(dtype),
                        axis=1)

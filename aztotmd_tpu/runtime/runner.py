@@ -412,6 +412,7 @@ class MDRunner:
         cfg, ctl = self.cfg, self.ctl
         total = n_steps if n_steps is not None else ctl.n_step
         done = int(self.state.step)
+        t_loop = time.perf_counter()
         try:
             self._run_loop(total, done)
         except KeyboardInterrupt:
@@ -419,6 +420,10 @@ class MDRunner:
                   "final outputs", file=sys.stderr)
         jax.block_until_ready(self.state.pos)
         if self.profile:
+            wall = time.perf_counter() - t_loop
+            n = max(total - done, 1)
+            print(f"loop wall: {wall:.1f} s for {n} steps "
+                  f"({n / wall:.1f} steps/s)", file=sys.stderr)
             print(self.timer.report(), file=sys.stderr)
         return self.state
 
@@ -471,15 +476,19 @@ class MDRunner:
                 while (nxt - done) >= p:
                     n_samp = n_fix
                     if self.profile:
+                        # assign INSIDE the stage so the barrier lands on
+                        # the NEW state (the old one was donated; blocking
+                        # on it measures dispatch enqueue, not the device)
                         with self.timer.stage("steps",
                                               lambda: self.state.pos):
                             out = self._ring_fn(self.state, self.hist,
                                                 self.nhist, self.ff,
                                                 n_samp)
+                            self.state, self.hist, self.nhist, fr, ir = out
                     else:
                         out = self._ring_fn(self.state, self.hist,
                                             self.nhist, self.ff, n_samp)
-                    self.state, self.hist, self.nhist, fr, ir = out
+                        self.state, self.hist, self.nhist, fr, ir = out
                     done += n_samp * p
                     if self.rcfg is not None and self.p_rdf:
                         self.rdf_count += n_samp * (p // self.p_rdf)
@@ -497,7 +506,12 @@ class MDRunner:
                     # tail shorter than one stat period (no sample row)
                     self._advance(nxt - done)
                     done = nxt
-                self._sample_rest(done)
+                if self.profile:
+                    with self.timer.stage("host_events",
+                                          lambda: self.state.pos):
+                        self._sample_rest(done)
+                else:
+                    self._sample_rest(done)
                 if self.debug:
                     from .debug import assert_state_ok
                     assert_state_ok(self.cfg, self.state)
@@ -911,6 +925,12 @@ class MDRunner:
     def _write_rdf(self, path):
         if self.rcfg is None or self.rdf_count == 0:
             return
+        if self.profile:
+            with self.timer.stage("rdf_out"):
+                return self._write_rdf_impl(path)
+        return self._write_rdf_impl(path)
+
+    def _write_rdf_impl(self, path):
         # rdf_sample accumulates 2*V/(Ni*Nj) per pair; normalize_rdf's
         # C1 = 1/(sphera dRDF^3 count), matching copy_rdf/copy_nrdf total
         gr = ops_rdf.normalize_rdf(self.rcfg, np.asarray(self.hist),

@@ -30,21 +30,19 @@ class StageTimer:
     def __init__(self):
         self.total = {}
         self.count = {}
-        self._t0 = None
-        self._stage = None
+        self._stack = []
 
     def start(self, stage: str):
-        self._stage = stage
-        self._t0 = time.perf_counter()
+        self._stack.append((stage, time.perf_counter()))
 
     def stop(self, wait_on=None):
         if wait_on is not None:
             import jax
             jax.block_until_ready(wait_on)
-        dt = time.perf_counter() - self._t0
-        self.total[self._stage] = self.total.get(self._stage, 0.0) + dt
-        self.count[self._stage] = self.count.get(self._stage, 0) + 1
-        self._stage = None
+        stage, t0 = self._stack.pop()
+        dt = time.perf_counter() - t0
+        self.total[stage] = self.total.get(stage, 0.0) + dt
+        self.count[stage] = self.count.get(stage, 0) + 1
         return dt
 
     @contextlib.contextmanager
