@@ -168,6 +168,11 @@ class MDRunner:
         self.rcfg = ops_rdf.make_rdf_config(ctl, cfg, pos=pos_h,
                                             m_min=m_min)
         self.rdf_count = 0
+        # last written RDF window (hist, nhist, count): finalize's
+        # rdf.dat falls back to it when the overfill reset just zeroed
+        # the live histogram (the reference's final out_rdf always has a
+        # partial window in flight; ours resets at dispatch granularity)
+        self._rdf_last = None
         if self.rcfg is not None:
             self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
             spec_nuclei = np.array([s.nuclei for s in fld.species],
@@ -445,6 +450,10 @@ class MDRunner:
                 self._advance(n)
                 done += n
                 self._sample(done)
+            if self.rcfg is not None and self.rdf_in_chunk \
+                    and self.rdf_count > 500:
+                self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
+                self.rdf_count = 0
             if self.debug and self.mesh is None:
                 from .debug import assert_state_ok
                 assert_state_ok(self.cfg, self.state)
@@ -495,8 +504,14 @@ class MDRunner:
                     if pending is not None:
                         self._flush_rows(*pending)
                     pending = (fr, ir)
-                    if self.rcfg is not None and self.rdf_count > 500:
-                        # overfill quirk (cuStat.cu:583)
+                    # overfill protection (rdf_iter, cuStat.cu:580-589):
+                    # the reference writes the intermediate rdfN.dat
+                    # BEFORE the >500 reset, so defer the reset when this
+                    # dispatch lands exactly on an rdf-output boundary —
+                    # _sample_rest writes the file, then we reset below
+                    if (self.rcfg is not None and self.rdf_count > 500
+                            and not (self.p_rdf_out
+                                     and done % self.p_rdf_out == 0)):
                         self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
                         self.rdf_count = 0
                 if pending is not None:
@@ -512,6 +527,13 @@ class MDRunner:
                         self._sample_rest(done)
                 else:
                     self._sample_rest(done)
+                if self.rcfg is not None and self.rdf_count >= 500:
+                    # post-event reset: every periodic rdfN.dat then
+                    # covers one fresh <=500-sample window, matching the
+                    # reference's steady state (reset fires on the 501st
+                    # sample, i.e. just after its write)
+                    self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
+                    self.rdf_count = 0
                 if self.debug:
                     from .debug import assert_state_ok
                     assert_state_ok(self.cfg, self.state)
@@ -569,9 +591,9 @@ class MDRunner:
             self.state, self.hist, self.nhist = self._chunk_rdf_fn(
                 self.state, self.hist, self.nhist, self.ff, n)
             self.rdf_count += n // self.p_rdf
-            if self.rdf_count > 500:    # overfill quirk (cuStat.cu:583)
-                self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
-                self.rdf_count = 0
+            # overfill reset happens in the loop AFTER sampling — the
+            # reference writes intermediate rdfN.dat before its >500
+            # reset (rdf_iter, cuStat.cu:568-589)
         else:
             self.state = self.multi(self.state, self.ff, n)
 
@@ -635,16 +657,21 @@ class MDRunner:
                                  np.asarray(st.vel))
 
         if self.rcfg is not None and self.p_rdf and not self.rdf_in_chunk \
-                and step % self.p_rdf == 0:
+                and not self.ring_ok and step % self.p_rdf == 0:
+            # legacy per-step sampling; in ring mode the samples are
+            # fused into the ring program (never double-sample here)
             self.hist, self.nhist = self._rdf_fn(
                 st.pos, st.types, st.spec_number, self.hist, self.nhist)
             self.rdf_count += 1
-            if self.rdf_count > 500:
-                self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
-                self.rdf_count = 0
         if self.rcfg is not None and self.p_rdf_out \
                 and step % self.p_rdf_out == 0:
             self._write_rdf(os.path.join(self.out_dir, f"rdf{step}.dat"))
+        # overfill reset AFTER any intermediate write at this step — the
+        # reference's rdf_iter order (cuStat.cu:568-589)
+        if self.rcfg is not None and not self.rdf_in_chunk \
+                and self.rdf_count > 500:
+            self.hist, self.nhist = ops_rdf.zero_hist(self.rcfg)
+            self.rdf_count = 0
 
         if self.w_traj and step >= self.ctl.st_traj \
                 and step % self.p_traj == 0:
@@ -922,26 +949,33 @@ class MDRunner:
             self._build_programs()
 
     # ------------------------------------------------------------------
-    def _write_rdf(self, path):
-        if self.rcfg is None or self.rdf_count == 0:
+    def _write_rdf(self, path, final=False):
+        if self.rcfg is None:
             return
+        hist, nhist, count = self.hist, self.nhist, self.rdf_count
+        if count == 0:
+            if not (final and self._rdf_last is not None):
+                return
+            hist, nhist, count = self._rdf_last
         if self.profile:
             with self.timer.stage("rdf_out"):
-                return self._write_rdf_impl(path)
-        return self._write_rdf_impl(path)
+                return self._write_rdf_impl(path, hist, nhist, count)
+        return self._write_rdf_impl(path, hist, nhist, count)
 
-    def _write_rdf_impl(self, path):
+    def _write_rdf_impl(self, path, hist, nhist, count):
         # rdf_sample accumulates 2*V/(Ni*Nj) per pair; normalize_rdf's
         # C1 = 1/(sphera dRDF^3 count), matching copy_rdf/copy_nrdf total
-        gr = ops_rdf.normalize_rdf(self.rcfg, np.asarray(self.hist),
-                                   self.rdf_count)
+        hist = np.asarray(hist)
+        gr = ops_rdf.normalize_rdf(self.rcfg, hist, count)
         W.write_rdf_file(path, self.rcfg, gr,
                          [s.name for s in self.fld.species])
         if self.rcfg.nuclei:
-            ngr = ops_rdf.normalize_rdf(self.rcfg, np.asarray(self.nhist),
-                                        self.rdf_count, nuclei=True)
+            nhist = np.asarray(nhist)
+            ngr = ops_rdf.normalize_rdf(self.rcfg, nhist,
+                                        count, nuclei=True)
             W.write_rdf_file(path.replace("rdf", "rdf_n", 1), self.rcfg,
                              ngr, list(self.fld.nnames))
+        self._rdf_last = (hist, nhist, count)
 
     def finalize(self):
         """End-of-run outputs (main.cu:411-447)."""
@@ -953,7 +987,7 @@ class MDRunner:
                   self.w_msdd):
             if w:
                 w.close()
-        self._write_rdf(j("rdf.dat"))
+        self._write_rdf(j("rdf.dat"), final=True)
 
         pos = np.asarray(st.pos)
         vel = np.asarray(st.vel)

@@ -173,3 +173,44 @@ def test_ring_list_rdf_matches_legacy(tmp_path):
     sa = open(os.path.join(out_a, "stat.dat")).read()
     sb = open(os.path.join(out_b, "stat.dat")).read()
     assert sa == sb
+
+
+def test_rdf_overfill_writes_before_reset(tmp_path):
+    """The >500-sample overfill reset (rdf_iter, cuStat.cu:568-589) must
+    never swallow an intermediate rdfN.dat or the final rdf.dat: the
+    reference writes the file first, then clears the buffer.  A run with
+    fr_rdf=1 crosses the 500-sample window twice; every periodic file
+    and the final rdf.dat must exist (the 500k-step cs2 production run
+    originally lost half its rdfN.dat files and rdf.dat to this)."""
+    from aztotmd_tpu.runtime.runner import run_deck
+    deck = str(tmp_path / "deck")
+    os.makedirs(deck)
+    n_side, spacing = 5, 8.0
+    box = n_side * spacing
+    g = np.arange(n_side) * spacing + 0.37 * spacing
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    with open(os.path.join(deck, "atoms.xyz"), "w") as f:
+        f.write(f"{len(pos)}\n1 {box:.6f} {box:.6f} {box:.6f}\n")
+        for p in pos:
+            f.write(f"Ar\t{p[0]:.6f}\t{p[1]:.6f}\t{p[2]:.6f}\n")
+    open(os.path.join(deck, "field.txt"), "w").write(
+        "spec 1\nAr\tAr\t40.0\t0.0\t0.0\n"
+        "red-ox 0\nvdw 1\nAr\tAr\tlnjs\t4.0\t0.01\t3.4\n")
+    open(os.path.join(deck, "control.txt"), "w").write(
+        "timestep 0.0002 ps\nnstep 1200\n"
+        "temperature 100.0\tnose\t0.5\ninit_vel\tgaus\n"
+        "permittivity 1.0\nelec\tnone\n"
+        "rdf\t6.0 0.05\t1\t200\t-nucl\nstat\t50\n")
+    out = str(tmp_path / "out")
+    r = run_deck(deck, out_dir=out, n_steps=1200, quiet=True)
+    assert r.ring_ok, "deck must exercise the ring path"
+    for step in range(200, 1201, 200):
+        assert os.path.exists(os.path.join(out, f"rdf{step}.dat")), \
+            f"rdf{step}.dat missing (reset swallowed the window)"
+    final = os.path.join(out, "rdf.dat")
+    assert os.path.exists(final), "final rdf.dat missing"
+    # finalize falls back to the last written window when the overfill
+    # reset just zeroed the live histogram
+    assert open(final).read() == open(
+        os.path.join(out, "rdf1200.dat")).read()
