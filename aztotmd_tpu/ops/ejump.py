@@ -101,6 +101,43 @@ def _mutation_energies(cfg, ff, state):
     return dU_ox, dU_red
 
 
+def env_du_partial(cfg, ff, pos_i, types_i, pos_j, types_j, jmask,
+                   self_pairs):
+    """Partial environment-dU sums over an arbitrary COLUMN SET of
+    neighbors j (the pairwise core of the serial twin's captured-list
+    sweep, ejump.cpp:200-262).
+
+    ``pos_i (N,3)`` / ``types_i (N,)``: the atoms whose ox/red mutation
+    energies are accumulated.  ``pos_j (M,3)`` / ``types_j (M,)``: the
+    neighbor columns contributing (a device's owned slab slots in the
+    sharded sweep, or all atoms); ``jmask (M,)`` marks live columns and
+    ``self_pairs (N,M)`` the (i,j) entries that are the same atom.
+
+    Returns partial ``(dU_ox, dU_red)`` of shape (N,); summing the
+    partials over disjoint column sets (e.g. ``lax.psum`` over slab
+    devices) reproduces the full sweep.
+    """
+    delta = min_image(pos_i[:, None, :] - pos_j[None, :, :], cfg)
+    r2 = jnp.sum(delta * delta, axis=-1)
+    within = jmask[None, :] & ~self_pairs & (r2 <= cfg.r2_max)
+    r2s = jnp.where(within, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    q = ff.spec_charge
+    tj = jnp.broadcast_to(types_j[None, :], r2.shape)
+    out = []
+    for table in (ff.spec_oxform, ff.spec_redform):
+        new_t = table[types_i] - 1                  # -1 = no form
+        ok = new_t >= 0
+        new_safe = jnp.maximum(new_t, 0)
+        dv = _vdw_energy(cfg, ff, new_safe[:, None], tj, r2s, r) \
+            - _vdw_energy(cfg, ff, types_i[:, None], tj, r2s, r)
+        dq = (q[new_safe] - q[types_i])[:, None]
+        dc = cfg.coul_scale * q[tj] / r * dq
+        out.append(jnp.sum(
+            jnp.where(within & ok[:, None], dv + dc, 0.0), axis=1))
+    return out[0], out[1]
+
+
 def _env_mutation_energies(cfg, ff, state, nbr_idx=None):
     """Serial-twin ENVIRONMENT dU (ejump.cpp:200-262): per-atom energy
     change of switching atom i to its ox/red form, summed over its
@@ -116,17 +153,27 @@ def _env_mutation_energies(cfg, ff, state, nbr_idx=None):
     types = state.types
     dt = pos.dtype
 
-    if nbr_idx is not None:
-        pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
-        types_p = jnp.concatenate(
-            [types, jnp.zeros((1,), jnp.int32)], axis=0)
-        valid = nbr_idx < N
-        delta = min_image(pos[:, None, :] - pos_p[nbr_idx], cfg)
-        tj = types_p[nbr_idx]
-    else:
-        delta = min_image(pos[:, None, :] - pos[None, :, :], cfg)
-        valid = ~jnp.eye(N, dtype=bool)
-        tj = jnp.broadcast_to(types[None, :], (N, N))
+    if nbr_idx is None and N > 8192 and cfg.grid is not None:
+        # large bond-free decks on the block/pallas/gather engines
+        # (no Verlet list in the step): sweep the cell-table candidate
+        # matrix — the same stencil reach as the pair pass — instead
+        # of O(N^2) all pairs
+        from . import cell_list as cl
+        coords = cl.cell_coords(cfg, pos)
+        table, _ = cl.build_cell_table(cfg, pos)
+        cand = cl.gather_candidates(cfg, table, coords)
+        own = jnp.arange(N, dtype=cand.dtype)[:, None]
+        nbr_idx = jnp.where(cand == own, N, cand)
+    if nbr_idx is None:
+        return env_du_partial(cfg, ff, pos, types, pos, types,
+                              jnp.ones((N,), bool),
+                              jnp.eye(N, dtype=bool))
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    types_p = jnp.concatenate(
+        [types, jnp.zeros((1,), jnp.int32)], axis=0)
+    valid = nbr_idx < N
+    delta = min_image(pos[:, None, :] - pos_p[nbr_idx], cfg)
+    tj = types_p[nbr_idx]
     r2 = jnp.sum(delta * delta, axis=-1)
     within = valid & (r2 <= cfg.r2_max)
     r2s = jnp.where(within, r2, 1.0)
@@ -147,7 +194,8 @@ def _env_mutation_energies(cfg, ff, state, nbr_idx=None):
     return out[0], out[1]
 
 
-def do_jumps(cfg, ff, state, jump_idx, active=None, nbr_idx=None):
+def do_jumps(cfg, ff, state, jump_idx, active=None, nbr_idx=None,
+             env_du_fn=None):
     """Perform electron jumps for donor atoms with candidate acceptors.
     jump_idx[i] = nearest acceptor of donor i (sentinel n_at).
 
@@ -155,7 +203,12 @@ def do_jumps(cfg, ff, state, jump_idx, active=None, nbr_idx=None):
     frequency schedule (ejump.cpp:592-597) masks acceptance instead of
     branching (a TPU lax.cond may execute both branches).
     `nbr_idx`: optional (N, K) Verlet list for the bond-free
-    environment-dU scheme (see _env_mutation_energies)."""
+    environment-dU scheme (see _env_mutation_energies).
+    `env_du_fn`: optional callable ``state -> (dU_ox, dU_red)``
+    replacing the local environment sweep — the slab mesh passes a
+    sharded partial-sum + psum closure here (parallel/slab_react.py)
+    so bond-free ejump decks scale past one device's all-pairs
+    budget."""
     N = cfg.n_at
     dt = state.pos.dtype
     types = state.types
@@ -178,11 +231,15 @@ def do_jumps(cfg, ff, state, jump_idx, active=None, nbr_idx=None):
     if cfg.use_bnd:
         dU_ox, dU_red = _mutation_energies(cfg, ff, state)
         dU = dU_ox + dU_red[acc]
-    elif nbr_idx is not None or N <= 8192:
+    else:
         # bond-free decks: the serial engine's environment scheme
         # (ejump.cpp:200-262) — the CUDA twin has no equivalent (its
         # dU covers the bonded neighborhood only)
-        dU_ox, dU_red = _env_mutation_energies(cfg, ff, state, nbr_idx)
+        if env_du_fn is not None:
+            dU_ox, dU_red = env_du_fn(state)
+        else:
+            dU_ox, dU_red = _env_mutation_energies(cfg, ff, state,
+                                                   nbr_idx)
         dU = dU_ox + dU_red[acc]
         # the reference's acceptor loop SKIPS the donor
         # (ejump.cpp:236-239) while the donor loop keeps the acceptor
@@ -197,8 +254,6 @@ def do_jumps(cfg, ff, state, jump_idx, active=None, nbr_idx=None):
             + cfg.coul_scale * ff.spec_charge[types] / rij \
             * (ff.spec_charge[red] - ff.spec_charge[acc_t])
         dU = dU - jnp.where(has, corr, 0.0)
-    else:
-        dU = jnp.zeros((N,), dt)
 
     # own-energy difference (serial engine, ejump.cpp:238-247)
     dU = dU + (ff.spec_energy[ox] - ff.spec_energy[types]) \

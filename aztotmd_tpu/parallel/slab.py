@@ -144,14 +144,10 @@ def check_slab_cfg(cfg, n_dev: int):
                                  for o in off):
         raise ValueError("slab decomposition needs a 27-point stencil "
                          "(cell edge >= cutoff, >= 3 cells per axis)")
-    from .slab_react import reactive_mode
-    if (reactive_mode(cfg) and cfg.ejtype and not cfg.use_bnd
-            and cfg.n_at > 8192):
-        # bond-free ejump decks use the serial-twin environment-dU
-        # all-pairs sweep (ops/ejump.py:_env_mutation_energies), which
-        # the replicated reactive path evaluates on every device
-        raise ValueError("slab mode limits bond-free ejump decks to "
-                         "8192 atoms (replicated all-pairs dU)")
+    # bond-free ejump decks: the serial-twin environment-dU sweep is
+    # SHARDED over the mesh (each device contributes its owned slots
+    # as neighbor columns, psum restores the sums — see
+    # slab_react.reactive_pass), so no atom-count cap applies.
 
 
 def prepare_slab_cfg(cfg, n_dev: int):

@@ -196,6 +196,28 @@ def reactive_pass(cfg, ff, n_at, st_dict, valid, rg: ReactiveGlobals,
     want_bind = cfg.use_bnd == 2 and cfg.use_linkage != 0
     want_jump = cfg.ejtype != 0
 
+    env_du_fn = None
+    if want_jump and not cfg.use_bnd:
+        # bond-free decks use the serial twin's environment dU
+        # (ejump.cpp:200-262).  Shard the all-pairs sweep: each device
+        # contributes the columns it OWNS (its valid slab slots) via
+        # ops.ejump.env_du_partial — O(N*C) per device instead of a
+        # replicated O(N^2) — and a psum restores the exact sums, so
+        # every device still reaches the same jump decisions.
+        from ..ops.ejump import env_du_partial
+        pos_loc = st_dict["pos"]
+        self_pairs = gid[None, :] == jnp.arange(
+            N, dtype=jnp.int32)[:, None]
+        valid_cols = valid
+
+        def env_du_fn(s):
+            tj_loc = jnp.where(valid_cols, s.types[gsafe], 0)
+            dox, dred = env_du_partial(cfg, ff, pos_g, s.types,
+                                       pos_loc, tj_loc, valid_cols,
+                                       self_pairs)
+            return (jax.lax.psum(dox, axis),
+                    jax.lax.psum(dred, axis))
+
     def stage2(rg2: ReactiveGlobals, rng2):
         """Post-pair stages: create_bonds -> ejump -> angles."""
         v = _GlobalView(
@@ -214,15 +236,18 @@ def reactive_pass(cfg, ff, n_at, st_dict, valid, rg: ReactiveGlobals,
             if f < 0:
                 active = (step % (-f)) == 0
                 v = ops_ejump.do_jumps(cfg, ff, v, jump_idx,
-                                       active=active)
+                                       active=active,
+                                       env_du_fn=env_du_fn)
             elif f <= 4:
                 for _ in range(max(f, 1)):
-                    v = ops_ejump.do_jumps(cfg, ff, v, jump_idx)
+                    v = ops_ejump.do_jumps(cfg, ff, v, jump_idx,
+                                           env_du_fn=env_du_fn)
             else:
                 # _GlobalView is not a pytree; loop over its dict
                 def body(_, d):
                     s = ops_ejump.do_jumps(cfg, ff, _GlobalView(**d),
-                                           jump_idx)
+                                           jump_idx,
+                                           env_du_fn=env_du_fn)
                     return {k: getattr(s, k) for k in d}
                 v = _GlobalView(**jax.lax.fori_loop(
                     0, f, body, dict(v.__dict__)))
