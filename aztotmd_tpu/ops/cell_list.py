@@ -71,6 +71,25 @@ def stencil_offsets(cfg):
     return np.asarray(cfg.grid.stencil, dtype=np.int32)
 
 
+def stencil_slot_ids(cfg, coords):
+    """Flat table-slot ids of every stencil-cell slot per atom.
+
+    coords: (N, 3) integer cell coordinates.  Returns (N, S*cap) int32
+    indices into the flat (n_cell*cap,) table layout shared by
+    build_cell_table and build_pos_table.
+    """
+    grid = cfg.grid
+    cap = grid.cap
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    offs = jnp.asarray(stencil_offsets(cfg))              # (S, 3)
+    ncoord = (coords[:, None, :] + offs[None, :, :]) % dims   # (N, S, 3)
+    _, ncy, ncz = grid.dims
+    ncid = (ncoord[..., 0] * ncy + ncoord[..., 1]) * ncz + ncoord[..., 2]
+    slots = (ncid[:, :, None] * cap
+             + jnp.arange(cap, dtype=jnp.int32)[None, None, :])
+    return slots.reshape(slots.shape[0], -1)              # (N, S*cap)
+
+
 def gather_candidates(cfg, table, coords):
     """Per-atom candidate neighbor indices.
 
@@ -82,18 +101,42 @@ def gather_candidates(cfg, table, coords):
     lists of its stencil cells; forces are accumulated on the reading atom
     only, so Newton's third law is recomputed instead of scattered —
     race-free and perfectly regular for the VPU.
+
+    The flat-index gather from the 1-D table — (N, S) cell ids expand to
+    (N, S*cap) slot ids — is one clean 1-D gather, no lane padding.
+    (A lax.gather of cap-length runs was measured ~equal here and
+    slowed the neighbor-rebuild path; reverted.)
     """
+    return table[stencil_slot_ids(cfg, coords)]           # (N, S*cap)
+
+
+def build_pos_table(cfg, pos):
+    """Fused position+index cell table: (n_cell*cap, 4) rows of
+    (x, y, z, atom-index-as-float); empty slots hold index ``n_at``.
+
+    Rationale (measured, TPU v5e): the candidate pass is HBM-LATENCY
+    bound, ~6.6 ns per random scalar gather but ~1.3 ns/element for
+    consecutive AoS rows.  Gathering (x, y, z, idx) in ONE 4-wide AoS
+    row walks HBM once instead of twice (int-table gather + position
+    gather) — the full neighbor rebuild dropped 62 -> 33 ms at 40k
+    atoms (tools/bench_nbr.py).  Requires n_at < 2^24 for exact float32
+    index round-trip (callers fall back to build_cell_table otherwise).
+    """
+    N = cfg.n_at
     grid = cfg.grid
     cap = grid.cap
-    dims = jnp.asarray(grid.dims, jnp.int32)
-    offs = jnp.asarray(stencil_offsets(cfg))              # (S, 3)
-    ncoord = (coords[:, None, :] + offs[None, :, :]) % dims   # (N, S, 3)
-    _, ncy, ncz = grid.dims
-    ncid = (ncoord[..., 0] * ncy + ncoord[..., 1]) * ncz + ncoord[..., 2]
-    # flat-index gather from the 1-D table: (N, S) cell ids expand to
-    # (N, S*cap) slot ids — one clean 1-D gather, no lane padding.
-    # (A lax.gather of cap-length runs was measured ~equal here and
-    # slowed the neighbor-rebuild path; reverted.)
-    slots = (ncid[:, :, None] * cap
-             + jnp.arange(cap, dtype=jnp.int32)[None, None, :])
-    return table[slots.reshape(slots.shape[0], -1)]       # (N, S*cap)
+    n_cell = grid.n_cell
+    dt = pos.dtype
+
+    cid = cell_ids(cfg, cell_coords(cfg, pos))            # (N,)
+    order = jnp.argsort(cid)                              # stable
+    sorted_cid = cid[order]
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(N, dtype=jnp.int32) - first.astype(jnp.int32)
+    slot = jnp.where(rank < cap, sorted_cid * cap + rank, n_cell * cap)
+    rows = jnp.concatenate([pos[order], order[:, None].astype(dt)],
+                           axis=1)
+    ptab = jnp.zeros((n_cell * cap, 4), dt).at[:, 3].set(float(N))
+    ptab = ptab.at[slot].set(rows, mode="drop")
+    max_occ = jnp.max(rank) + 1
+    return ptab, max_occ

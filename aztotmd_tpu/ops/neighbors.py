@@ -29,61 +29,99 @@ from .vdw import vdw_eval
 def build_neighbors(cfg, pos):
     """(N, K) neighbor indices within r_max + skin (sentinel = N).
 
-    Uses the stencil-gather candidate matrix over cfg.nb_grid, then a
-    top-K selection by distance.  K = cfg.n_neigh.
+    Uses the stencil candidate sweep over cfg.nb_grid, then a row
+    compaction.  K = cfg.n_neigh.  Two pipelines (tools/bench_nbr.py,
+    TPU v5e, 40k atoms):
+
+      * M = S*cap <= 1024 (production reach at cs1 scale): gather the
+        FUSED (x, y, z, idx) table (cell_list.build_pos_table) — one
+        AoS HBM walk instead of int-table gather + position gather —
+        and compact by a stable row sort on masked r2.  The list comes
+        out NEAREST-FIRST (overflow drops the farthest, and downstream
+        refines can prefix-slice).  62 -> 33 ms (RDF list) and
+        90 -> 59 ms (outer force list) vs the two-gather + top_k path.
+      * larger M (dense decks, K ~ hundreds): the sort's O(M log^2 M)
+        bitonic passes lose to the O(M) cumsum+scatter compaction, and
+        a top_k at K ~ 1600 took seconds; keep the two-gather +
+        scatter pipeline (first-K truncation, monitored).
     """
     import dataclasses
     N = cfg.n_at
     K = cfg.n_neigh
     gcfg = dataclasses.replace(cfg, grid=cfg.nb_grid)
     coords = cl.cell_coords(gcfg, pos)
+    dt = pos.dtype
+    M = len(gcfg.grid.stencil) * gcfg.grid.cap
+    own = jnp.arange(N, dtype=jnp.int32)[:, None]
+    r_nb = cfg.r_max + cfg.nb_skin
+    # layout note: the vector (N, M, 3|4) gather is ~5x faster on TPU
+    # than SoA component gathers (consecutive rows; the SoA path
+    # measured 57 ms per pass on the 8.6M-candidate outer rebuild), but
+    # its result buffer lane-pads the row to 128.  Bound the transient
+    # by processing the candidate columns in chunks.
+    chunk = max(1, int((2 << 30) // max(N * 128 * 4, 1)))
+    fused = M <= 1024 and N < (1 << 24)    # f32 idx must be exact
+
+    if fused:
+        ptab, max_occ = cl.build_pos_table(gcfg, pos)
+        slots = cl.stencil_slot_ids(gcfg, coords)          # (N, M)
+
+        def aos_chunk(sl):
+            g = ptab[sl]                                   # (N, m, 4)
+            delta = min_image(pos[:, None, :] - g[..., :3], cfg)
+            return (jnp.sum(delta * delta, axis=-1),
+                    g[..., 3].astype(jnp.int32))
+        parts = [aos_chunk(slots[:, i:i + chunk])
+                 for i in range(0, M, chunk)]
+        r2 = jnp.concatenate([p[0] for p in parts], axis=1) \
+            if len(parts) > 1 else parts[0][0]
+        cand = jnp.concatenate([p[1] for p in parts], axis=1) \
+            if len(parts) > 1 else parts[0][1]
+        mask = (cand != N) & (cand != own) & (r2 <= r_nb * r_nb)
+
+        # stable row sort on masked r2: deterministic nearest-first
+        key = jnp.where(mask, r2, jnp.inf).astype(jnp.float32)
+        skey, sval = jax.lax.sort((key, cand), dimension=1, num_keys=1)
+        kk = min(K, M)
+        idx = jnp.where(jnp.isfinite(skey[:, :kk]), sval[:, :kk],
+                        N).astype(jnp.int32)
+        if kk < K:
+            idx = jnp.concatenate(
+                [idx, jnp.full((N, K - kk), N, jnp.int32)], axis=1)
+        n_real = jnp.sum(mask, axis=1)
+        return idx, jnp.max(n_real).astype(jnp.int32), max_occ
+
     table, max_occ = cl.build_cell_table(gcfg, pos)
     cand = cl.gather_candidates(gcfg, table, coords)       # (N, M)
-
-    dt = pos.dtype
-    # layout choice: the vector (N, M, 3) gather is ~5x faster on TPU
-    # than SoA component gathers (consecutive triples; the SoA path
-    # measured 57 ms per pass on the 8.6M-candidate outer rebuild), but
-    # its result buffer lane-pads 3 -> 128.  Bound the transient by
-    # processing the candidate columns in chunks instead of falling
-    # back to SoA.
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
-    M = cand.shape[1]
-    cols = max(1, int((2 << 30) // max(N * 128 * 4, 1)))
 
     def aos_r2(c):
         delta = min_image(pos[:, None, :] - pos_p[c], cfg)
         return jnp.sum(delta * delta, axis=-1)
 
-    if M <= cols:
+    if M <= chunk:
         r2 = aos_r2(cand)
     else:
         r2 = jnp.concatenate(
-            [aos_r2(cand[:, i:i + cols]) for i in range(0, M, cols)],
+            [aos_r2(cand[:, i:i + chunk]) for i in range(0, M, chunk)],
             axis=1)
-    own = jnp.arange(N, dtype=jnp.int32)[:, None]
-    r_nb = cfg.r_max + cfg.nb_skin
     mask = (cand != N) & (cand != own) & (r2 <= r_nb * r_nb)
 
-    # row-wise compaction of the valid candidates. Two regimes:
-    # small K -> top_k by distance (keeps the NEAREST K, O(M*K) but K is
-    # tiny); large K -> stable cumsum compaction + scatter, O(M) per row
-    # (a top_k at case study 2's K ~ 1600 took seconds per rebuild)
     if K <= 32:
         r2m = jnp.where(mask, r2, jnp.inf)
-        _, cols = jax.lax.top_k(-r2m.astype(jnp.float32), K)
+        _, sel = jax.lax.top_k(-r2m.astype(jnp.float32), K)
         rows = jnp.arange(N, dtype=jnp.int32)[:, None]
-        idx = cand[rows, cols]
-        keep = jnp.take_along_axis(mask, cols, axis=1)
+        idx = cand[rows, sel]
+        keep = jnp.take_along_axis(mask, sel, axis=1)
         idx = jnp.where(keep, idx, N).astype(jnp.int32)
         n_real = jnp.sum(mask, axis=1)
     else:
         cnt = jnp.cumsum(mask, axis=1)
         rows = jnp.arange(N, dtype=jnp.int32)[:, None]
         tgt = jnp.where(mask & (cnt <= K), cnt - 1, K)    # K = dump slot
-        flat = (rows * (K + 1) + tgt).reshape(-1)
         out = jnp.full((N * (K + 1),), N, jnp.int32)
-        out = out.at[flat].set(cand.reshape(-1), mode="drop")
+        out = out.at[(rows * (K + 1) + tgt).reshape(-1)].set(
+            cand.reshape(-1), mode="drop")
         idx = out.reshape(N, K + 1)[:, :K]
         n_real = cnt[:, -1]
     # overflow monitoring: neighbors beyond K are silently dropped —
