@@ -26,6 +26,84 @@ from .pairs import MX_FRC, PairResult, _row_argmin, min_image
 from .vdw import vdw_eval
 
 
+def sorted_build_ok(cfg) -> bool:
+    """True when build_neighbors takes the fused sorted pipeline for
+    this cfg, i.e. its lists are NEAREST-FIRST at build positions and
+    build_neighbors_keys is available."""
+    if cfg.nb_grid is None:
+        return False
+    M = len(cfg.nb_grid.stencil) * cfg.nb_grid.cap
+    return M <= 1024 and cfg.n_at < (1 << 24)   # f32 idx must be exact
+
+
+def build_neighbors_keys(cfg, pos):
+    """Fused sorted candidate pass (requires sorted_build_ok(cfg)).
+
+    Returns (idx (N, K) nearest-first, skey (N, K) f32 sorted r2 at
+    build positions with +inf padding, n_real_max, max_occ).  The keys
+    let callers that run AT the build positions replace a
+    refine_neighbors pass with a prefix slice: entries within a smaller
+    reach r are exactly the rows' leading columns with skey <= r^2.
+    """
+    import dataclasses
+    N = cfg.n_at
+    K = cfg.n_neigh
+    gcfg = dataclasses.replace(cfg, grid=cfg.nb_grid)
+    coords = cl.cell_coords(gcfg, pos)
+    M = len(gcfg.grid.stencil) * gcfg.grid.cap
+    own = jnp.arange(N, dtype=jnp.int32)[:, None]
+    r_nb = cfg.r_max + cfg.nb_skin
+    chunk = max(1, int((2 << 30) // max(N * 128 * 4, 1)))
+
+    ptab, max_occ = cl.build_pos_table(gcfg, pos)
+    slots = cl.stencil_slot_ids(gcfg, coords)              # (N, M)
+
+    def aos_chunk(sl):
+        g = ptab[sl]                                       # (N, m, 4)
+        delta = min_image(pos[:, None, :] - g[..., :3], cfg)
+        return (jnp.sum(delta * delta, axis=-1),
+                g[..., 3].astype(jnp.int32))
+    parts = [aos_chunk(slots[:, i:i + chunk])
+             for i in range(0, M, chunk)]
+    r2 = jnp.concatenate([p[0] for p in parts], axis=1) \
+        if len(parts) > 1 else parts[0][0]
+    cand = jnp.concatenate([p[1] for p in parts], axis=1) \
+        if len(parts) > 1 else parts[0][1]
+    mask = (cand != N) & (cand != own) & (r2 <= r_nb * r_nb)
+
+    # stable row sort on masked r2: deterministic nearest-first
+    key = jnp.where(mask, r2, jnp.inf).astype(jnp.float32)
+    skey, sval = jax.lax.sort((key, cand), dimension=1, num_keys=1)
+    kk = min(K, M)
+    idx = jnp.where(jnp.isfinite(skey[:, :kk]), sval[:, :kk],
+                    N).astype(jnp.int32)
+    skey = skey[:, :kk]
+    if kk < K:
+        idx = jnp.concatenate(
+            [idx, jnp.full((N, K - kk), N, jnp.int32)], axis=1)
+        skey = jnp.concatenate(
+            [skey, jnp.full((N, K - kk), jnp.inf, jnp.float32)], axis=1)
+    n_real = jnp.sum(mask, axis=1)
+    return idx, skey, jnp.max(n_real).astype(jnp.int32), max_occ
+
+
+def prefix_refine(idx, skey, reach, K, n_at):
+    """Refine a SORTED list to a smaller reach AT THE BUILD POSITIONS:
+    the entries within `reach` are exactly the leading columns with
+    skey <= reach^2 — no gather, no top_k (vs ~11 ms for the
+    refine_neighbors pass at 40k atoms).  Returns (idx (N, K), n_max)
+    with the same contract as refine_neighbors (sentinel = n_at)."""
+    within = skey <= jnp.float32(reach * reach)            # (N, kk)
+    k2 = min(K, idx.shape[1])
+    out = jnp.where(within[:, :k2], idx[:, :k2],
+                    jnp.int32(n_at)).astype(jnp.int32)
+    if k2 < K:
+        out = jnp.concatenate(
+            [out, jnp.full((out.shape[0], K - k2), n_at, jnp.int32)],
+            axis=1)
+    return out, jnp.max(jnp.sum(within, axis=1)).astype(jnp.int32)
+
+
 def build_neighbors(cfg, pos):
     """(N, K) neighbor indices within r_max + skin (sentinel = N).
 
@@ -33,7 +111,7 @@ def build_neighbors(cfg, pos):
     compaction.  K = cfg.n_neigh.  Two pipelines (tools/bench_nbr.py,
     TPU v5e, 40k atoms):
 
-      * M = S*cap <= 1024 (production reach at cs1 scale): gather the
+      * sorted_build_ok (production reach at cs1 scale): gather the
         FUSED (x, y, z, idx) table (cell_list.build_pos_table) — one
         AoS HBM walk instead of int-table gather + position gather —
         and compact by a stable row sort on masked r2.  The list comes
@@ -48,6 +126,10 @@ def build_neighbors(cfg, pos):
     import dataclasses
     N = cfg.n_at
     K = cfg.n_neigh
+    if sorted_build_ok(cfg):
+        idx, _, nmax, max_occ = build_neighbors_keys(cfg, pos)
+        return idx, nmax, max_occ
+
     gcfg = dataclasses.replace(cfg, grid=cfg.nb_grid)
     coords = cl.cell_coords(gcfg, pos)
     dt = pos.dtype
@@ -60,36 +142,6 @@ def build_neighbors(cfg, pos):
     # its result buffer lane-pads the row to 128.  Bound the transient
     # by processing the candidate columns in chunks.
     chunk = max(1, int((2 << 30) // max(N * 128 * 4, 1)))
-    fused = M <= 1024 and N < (1 << 24)    # f32 idx must be exact
-
-    if fused:
-        ptab, max_occ = cl.build_pos_table(gcfg, pos)
-        slots = cl.stencil_slot_ids(gcfg, coords)          # (N, M)
-
-        def aos_chunk(sl):
-            g = ptab[sl]                                   # (N, m, 4)
-            delta = min_image(pos[:, None, :] - g[..., :3], cfg)
-            return (jnp.sum(delta * delta, axis=-1),
-                    g[..., 3].astype(jnp.int32))
-        parts = [aos_chunk(slots[:, i:i + chunk])
-                 for i in range(0, M, chunk)]
-        r2 = jnp.concatenate([p[0] for p in parts], axis=1) \
-            if len(parts) > 1 else parts[0][0]
-        cand = jnp.concatenate([p[1] for p in parts], axis=1) \
-            if len(parts) > 1 else parts[0][1]
-        mask = (cand != N) & (cand != own) & (r2 <= r_nb * r_nb)
-
-        # stable row sort on masked r2: deterministic nearest-first
-        key = jnp.where(mask, r2, jnp.inf).astype(jnp.float32)
-        skey, sval = jax.lax.sort((key, cand), dimension=1, num_keys=1)
-        kk = min(K, M)
-        idx = jnp.where(jnp.isfinite(skey[:, :kk]), sval[:, :kk],
-                        N).astype(jnp.int32)
-        if kk < K:
-            idx = jnp.concatenate(
-                [idx, jnp.full((N, K - kk), N, jnp.int32)], axis=1)
-        n_real = jnp.sum(mask, axis=1)
-        return idx, jnp.max(n_real).astype(jnp.int32), max_occ
 
     table, max_occ = cl.build_cell_table(gcfg, pos)
     cand = cl.gather_candidates(gcfg, table, coords)       # (N, M)

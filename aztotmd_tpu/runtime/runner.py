@@ -332,8 +332,12 @@ class MDRunner:
                 # amortize the candidate pass: one (N, k_cap) RDF
                 # neighbor list per stat period, skin-padded to absorb
                 # the drift, shared by all samples inside the period
-                from ..ops.neighbors import build_neighbors
+                from ..ops.neighbors import (build_neighbors,
+                                             build_neighbors_keys,
+                                             prefix_refine,
+                                             sorted_build_ok)
                 lcfg = ops_rdf.rdf_list_cfg(cfg, rcfg)
+                use_sorted = sorted_build_ok(lcfg)
 
             # when the RDF list's reach covers the outer Verlet reach,
             # ONE full candidate pass serves both: the outer list is a
@@ -352,17 +356,30 @@ class MDRunner:
             def stat_block(s, h, nh, ff):
                 if fuse_rdf:
                     if use_list:
-                        nbr, nmax_rdf, _ = build_neighbors(lcfg, s.pos)
-                        # counts beyond k_cap are silently truncated
-                        # (first-K in candidate order, NOT nearest) and
-                        # when rdf_covers_outer the pair-force outer
-                        # list is refined FROM this list — monitor so
+                        # counts beyond k_cap are truncated (farthest-
+                        # first on the sorted path) and when
+                        # rdf_covers_outer the pair-force outer list is
+                        # refined FROM this list — monitor so
                         # _check_overflow can grow k_cap and rebuild
+                        if use_sorted:
+                            nbr, skey, nmax_rdf, _ = \
+                                build_neighbors_keys(lcfg, s.pos)
+                        else:
+                            nbr, nmax_rdf, _ = build_neighbors(lcfg,
+                                                               s.pos)
                         s = s.replace(rdf_over=jax.numpy.maximum(
                             s.rdf_over, nmax_rdf))
                     if rdf_covers_outer:
-                        idx2, nmax2 = refine_neighbors(ocfg_view,
-                                                       s.pos, nbr)
+                        if use_sorted:
+                            # sorted rows + build-time keys: the outer
+                            # refine at the SAME positions is a prefix
+                            # slice (saves the ~11 ms gather+top_k)
+                            idx2, nmax2 = prefix_refine(
+                                nbr, skey, cfg.r_max + cfg.nb_skin2,
+                                cfg.n_neigh2, cfg.n_at)
+                        else:
+                            idx2, nmax2 = refine_neighbors(ocfg_view,
+                                                           s.pos, nbr)
                         s = s.replace(
                             nbr2_idx=idx2,
                             nbr2_over=jax.numpy.maximum(s.nbr2_over,

@@ -47,8 +47,21 @@ def rebuild_neighbors_state(cfg, state):
     refines the inner one from it."""
     from ..ops import neighbors as ops_nbr
     if cfg.nb_outer > 1:
-        idx2, nmax2, occ = ops_nbr.build_outer_neighbors(cfg, state.pos)
-        idx, nmax = ops_nbr.refine_neighbors(cfg, state.pos, idx2)
+        if ops_nbr.sorted_build_ok(cfg):
+            # the fused sorted build returns nearest-first rows + their
+            # build-time r2 keys: the inner refine AT THE SAME positions
+            # is a prefix slice, no second gather/top_k pass
+            ocfg = dataclasses.replace(cfg, n_neigh=cfg.n_neigh2,
+                                       nb_skin=cfg.nb_skin2)
+            idx2, skey2, nmax2, occ = ops_nbr.build_neighbors_keys(
+                ocfg, state.pos)
+            idx, nmax = ops_nbr.prefix_refine(
+                idx2, skey2, cfg.r_max + cfg.nb_skin, cfg.n_neigh,
+                cfg.n_at)
+        else:
+            idx2, nmax2, occ = ops_nbr.build_outer_neighbors(
+                cfg, state.pos)
+            idx, nmax = ops_nbr.refine_neighbors(cfg, state.pos, idx2)
         return state.replace(
             nbr_idx=idx, nbr_ref=state.pos, nbr2_idx=idx2,
             nbr_over=jnp.maximum(state.nbr_over, nmax),

@@ -49,7 +49,9 @@ def main():
         rebuild_neighbors_state)
     from aztotmd_tpu.runtime import statring
     from aztotmd_tpu.ops import rdf as R
-    from aztotmd_tpu.ops.neighbors import build_neighbors, refine_neighbors
+    from aztotmd_tpu.ops.neighbors import (
+        build_neighbors, build_neighbors_keys, prefix_refine,
+        refine_neighbors, sorted_build_ok)
     import dataclasses as dc
     import math
 
@@ -123,11 +125,22 @@ def main():
                         >= cfg.r_max + cfg.nb_skin2)
     print(f"rdf_covers_outer={rdf_covers_outer}", file=sys.stderr)
 
+    use_sorted = sorted_build_ok(lcfg)
+    print(f"use_sorted={use_sorted}", file=sys.stderr)
+
     def stat_block(s, h, nh):
-        nbr_, nmax_rdf, _ = build_neighbors(lcfg, s.pos)
+        if use_sorted:
+            nbr_, skey_, nmax_rdf, _ = build_neighbors_keys(lcfg, s.pos)
+        else:
+            nbr_, nmax_rdf, _ = build_neighbors(lcfg, s.pos)
         s = s.replace(rdf_over=jnp.maximum(s.rdf_over, nmax_rdf))
         if rdf_covers_outer:
-            idx2, nmax2 = refine_neighbors(ocfg_view, s.pos, nbr_)
+            if use_sorted:
+                idx2, nmax2 = prefix_refine(
+                    nbr_, skey_, cfg.r_max + cfg.nb_skin2,
+                    cfg.n_neigh2, cfg.n_at)
+            else:
+                idx2, nmax2 = refine_neighbors(ocfg_view, s.pos, nbr_)
             s = s.replace(nbr2_idx=idx2,
                           nbr2_over=jnp.maximum(s.nbr2_over, nmax2))
         else:
