@@ -166,45 +166,69 @@ def bind_jump_candidates(cfg, ff, pos, types, parents=None,
     pair_1, cuPairs.cu:117-167, without the force work).
 
     Used by the slab engine's reactive path: candidate selection is a
-    pure function of (pos, types, parents), so running it replicated on
-    every device from the psum-assembled global position table yields
-    bit-identical candidates everywhere — the deterministic analog of
-    the reference's atomicMin registration."""
+    pure function of (pos, types, parents), so running it from the
+    psum-assembled global position table yields bit-identical
+    candidates everywhere — the deterministic analog of the
+    reference's atomicMin registration."""
+    N = cfg.n_at
+    table, _ = cl.build_cell_table(cfg, pos)
+    own = jnp.arange(N, dtype=jnp.int32)
+    return bind_jump_candidates_rows(
+        cfg, ff, table, pos, types, parents, pos, own, types,
+        parents, want_bind=want_bind, want_jump=want_jump)
+
+
+def bind_jump_candidates_rows(cfg, ff, table, pos, types, parents,
+                              row_pos, row_own, row_types, row_parents,
+                              want_bind=True, want_jump=True):
+    """Candidate selection for an arbitrary ROW SET against the global
+    cell table — the sharding core of bind_jump_candidates.
+
+    ``table``: flat cell table built over the GLOBAL ``pos``/``types``/
+    ``parents`` (all (N,)-indexed).  ``row_pos (R, 3)`` / ``row_own``
+    (global atom id per row, sentinel n_at for dead rows) /
+    ``row_types`` / ``row_parents`` describe the rows to compute.  The
+    slab mesh passes its OWNED slots here and psum-merges the per-gid
+    results (parallel/slab_react.py) — each row's arithmetic is
+    identical to the replicated pass, so the merge is bit-exact.
+    """
     N = cfg.n_at
     dt = pos.dtype
     nsp = cfg.n_spec
-    coords = cl.cell_coords(cfg, pos)
-    table, _ = cl.build_cell_table(cfg, pos)
-    cand = cl.gather_candidates(cfg, table, coords)       # (N, M)
+    coords = cl.cell_coords(cfg, row_pos)
+    cand = cl.gather_candidates(cfg, table, coords)       # (R, M)
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
     types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)], axis=0)
-    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
+    delta = min_image(row_pos[:, None, :] - pos_p[cand], cfg)
     r2 = jnp.sum(delta * delta, axis=-1)
-    own = jnp.arange(N, dtype=jnp.int32)[:, None]
-    valid = (cand != N) & (cand != own)
+    own = row_own[:, None]
+    valid = (cand != N) & (cand != own) & (own != N)
     tj = types_p[cand]
-    ti = types[:, None]
+    ti = row_types[:, None]
+    R = row_pos.shape[0]
     if want_bind:
         tpair = ti * nsp + tj
         can = (ff.bonding_matr.reshape(-1)[tpair] != 0) & valid \
             & (r2 <= ff.bind_r2.reshape(-1)[tpair])
         if parents is not None:
             par_p = jnp.concatenate([parents, -jnp.ones((1,), jnp.int32)])
-            can = can & (parents[:, None] != cand) & (par_p[cand] != own)
+            can = can & (row_parents[:, None] != cand) & (par_p[cand] != own)
         bind_idx, bind_r2 = _row_argmin(cand, r2, can, N)
     else:
-        bind_idx = jnp.full((N,), N, jnp.int32)
-        bind_r2 = jnp.full((N,), jnp.inf, dt)
+        bind_idx = jnp.full((R,), N, jnp.int32)
+        bind_r2 = jnp.full((R,), jnp.inf, dt)
     if want_jump:
-        jump_idx, jump_r2 = _jump_candidates(cfg, ff, types, tj, cand,
-                                             r2, valid)
+        jump_idx, jump_r2 = _jump_candidates(cfg, ff, row_types, tj,
+                                             cand, r2, valid,
+                                             sentinel=N)
     else:
-        jump_idx = jnp.full((N,), N, jnp.int32)
-        jump_r2 = jnp.full((N,), jnp.inf, dt)
+        jump_idx = jnp.full((R,), N, jnp.int32)
+        jump_r2 = jnp.full((R,), jnp.inf, dt)
     return bind_idx, bind_r2, jump_idx, jump_r2
 
 
-def _jump_candidates(cfg, ff, types, tj, cand, r2, valid):
+def _jump_candidates(cfg, ff, types, tj, cand, r2, valid,
+                     sentinel=None):
     """Per-role e-jump candidate selection (try_to_jump semantics,
     cuEjump.cu:39-76): a donor row stores its nearest ACCEPTOR — one
     combined argmin over both directions could return a nearest
@@ -214,7 +238,7 @@ def _jump_candidates(cfg, ff, types, tj, cand, r2, valid):
     passes (ejump.cpp:599-609), which re-validate roles against the
     mutated types in do_jumps, let a freshly-reduced atom donate back.
     """
-    N = types.shape[0]
+    N = types.shape[0] if sentinel is None else sentinel
     don_i = (ff.spec_donacc[types] & 1).astype(bool)
     acc_i = (ff.spec_donacc[types] & 2).astype(bool)
     acc_j = (ff.spec_donacc[tj] & 2).astype(bool)

@@ -156,8 +156,9 @@ def reactive_pass(cfg, ff, n_at, st_dict, valid, rg: ReactiveGlobals,
     """
     from ..ops import angles as ops_angles
     from ..ops import bonds as ops_bonds
+    from ..ops import cell_list as ops_cl
     from ..ops import ejump as ops_ejump
-    from ..ops.pairs import bind_jump_candidates
+    from ..ops.pairs import bind_jump_candidates_rows
 
     N = n_at
     fdt = st_dict["pos"].dtype
@@ -226,9 +227,24 @@ def reactive_pass(cfg, ff, n_at, st_dict, valid, rg: ReactiveGlobals,
             **{k: getattr(rg2, k) for k in _FIELDS})
 
         if want_bind or want_jump:
-            bind_idx, bind_r2, jump_idx, _ = bind_jump_candidates(
-                cfg, ff, pos_g, v.types, v.parents,
+            # SHARDED candidate selection: the cell table over the
+            # global positions is replicated (cheap argsort), but each
+            # device computes candidate rows only for the slots it
+            # OWNS — O(N*M / n_dev) gather work instead of a replicated
+            # O(N*M) — and one psum-scatter per output merges the
+            # per-gid results.  Each row's arithmetic is identical to
+            # the replicated pass, so devices still agree bit-exactly.
+            table, _ = ops_cl.build_cell_table(cfg, pos_g)
+            row_own = jnp.where(valid, gid, N)
+            row_types = jnp.where(valid, v.types[gsafe], 0)
+            row_parents = jnp.where(valid, v.parents[gsafe], -1)
+            b_i, b_r2, j_i, _ = bind_jump_candidates_rows(
+                cfg, ff, table, pos_g, v.types, v.parents,
+                st_dict["pos"], row_own, row_types, row_parents,
                 want_bind=want_bind, want_jump=want_jump)
+            bind_idx = assemble_global(N, gid, valid, b_i, axis)
+            bind_r2 = assemble_global(N, gid, valid, b_r2, axis)
+            jump_idx = assemble_global(N, gid, valid, j_i, axis)
         if want_bind:
             v = ops_bonds.create_bonds(cfg, ff, v, bind_idx, bind_r2)
         if want_jump:
