@@ -321,3 +321,45 @@ Fe2\tFe2\tlnjs\t4.0\t0.005\t2.2
     assert types1[0] == 4        # A oxidized Fe3 -> Fe4
     assert types1[2] == 3        # C reduced Fe4 -> Fe3
     assert types1[1] == 0        # the decoy donor untouched
+
+
+def test_env_du_cell_sweep_matches_all_pairs_large_deck():
+    """Bond-free decks past 8192 atoms sweep the cell-table candidate
+    matrix instead of O(N^2) all pairs (ops/ejump.py
+    _env_mutation_energies); the stencil reach equals the pair pass's,
+    so the sums must match the all-pairs sweep exactly."""
+    from aztotmd_tpu.ops.ejump import (_env_mutation_energies,
+                                       env_du_partial)
+
+    fld = parse_field(FIELD)
+    n = 8300                                  # just past the old cap
+    rng = np.random.default_rng(3)
+    box = 40.0
+    pos = rng.uniform(0, box, size=(n, 3))
+    names = ["Fe2" if i % 3 else "Fe3" for i in range(n)]
+    ctl = ControlSpec(t_step=0.0001, n_step=1,
+                      tstat=TStatSpec(type=0, temp=300.0),
+                      elec=ElecSpec(type=ELEC_DIRECT, r_real=6.0))
+    ctl.ejump = 1
+    ctl.ejtype = JUMP_MIN
+    ctl.r_elec = 2.0
+    atoms = AtomsData(names=names, pos=pos, box=(box, box, box))
+    cfg, ff, state, aux = build_system(ctl, fld, atoms, dtype="f64",
+                                       seed=9)
+    assert cfg.grid is not None and cfg.n_at > 8192
+
+    got_ox, got_red = _env_mutation_energies(cfg, ff, state)
+    # all-pairs reference for a row subset only (the full N^2 f64
+    # sweep took ~12 min on the CPU mesh; 512 rows keep the check
+    # representative and fast)
+    rows = np.sort(rng.choice(n, size=512, replace=False))
+    want_ox, want_red = env_du_partial(
+        cfg, ff, state.pos[rows], state.types[rows], state.pos,
+        state.types, jnp.ones((n,), bool),
+        jnp.asarray(rows)[:, None] == jnp.arange(n)[None, :])
+    np.testing.assert_allclose(np.asarray(got_ox)[rows],
+                               np.asarray(want_ox),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_red)[rows],
+                               np.asarray(want_red),
+                               rtol=1e-12, atol=1e-12)
