@@ -181,6 +181,40 @@ def rdf_sample_allpairs(cfg, rcfg: RdfConfig, pos, types, spec_number,
                           nucl_number, hist, nhist)
 
 
+def rdf_counts_rows(cfg, rcfg: RdfConfig, row_pos, row_gid, row_types,
+                    pos_g, types_g):
+    """Partial all-pairs RDF COUNTS for an arbitrary row set against
+    the global atom table, deduplicated by global id (a pair lands on
+    the row owning the smaller gid; dead rows carry gid -1).
+
+    Summing the counts over DISJOINT row sets (``lax.psum`` over slab
+    devices, parallel/slab.py) reproduces rdf_sample_allpairs' integer
+    counts exactly: each row's positions are bit-identical to its
+    pos_g entry (the table is psum-assembled from them), so the
+    distances and bin ids match the single-chip sweep bitwise.
+    """
+    dt = pos_g.dtype
+    N = pos_g.shape[0]
+    box = jnp.asarray(cfg.box, dt)
+    r2 = jnp.zeros((row_pos.shape[0], N), dt)
+    for k in range(3):
+        d = row_pos[:, k][:, None] - pos_g[:, k][None, :]
+        d = d - box[k] * jnp.round(d / box[k])
+        r2 = r2 + d * d
+    j = jnp.arange(N, dtype=jnp.int32)
+    mask = (row_gid[:, None] >= 0) & (row_gid[:, None] < j[None, :]) \
+        & (r2 < rcfg.r2_max)
+    r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+    ib = jnp.minimum((r / rcfg.d_rdf).astype(jnp.int32), rcfg.n_bin - 1)
+    if rcfg.n_spec == 1:
+        ip = 0
+    else:
+        ip = pair_index(rcfg.n_spec, row_types[:, None], types_g[None, :])
+    B = rcfg.n_bin * rcfg.n_pair
+    flat = jnp.where(mask, ib * rcfg.n_pair + ip, B)
+    return _hist_counts(flat, B, dt).reshape(rcfg.n_bin, rcfg.n_pair)
+
+
 def rdf_sample(cfg, rcfg: RdfConfig, pos, types, spec_number,
                spec_nuclei, nucl_number, hist, nhist=None):
     """Accumulate one RDF sample into the histogram(s).

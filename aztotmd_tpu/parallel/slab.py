@@ -939,3 +939,74 @@ def make_slab_multi_step(cfg, aux, mesh: Mesh):
         return st
 
     return jax.jit(multi, static_argnums=2)
+
+
+def make_slab_rdf_chunk(cfg, rcfg, aux, mesh: Mesh, spec_nuclei,
+                        nucl_number, p_rdf: int):
+    """Fused slab chunk: scan ``p_rdf``-step blocks and accumulate the
+    RDF histogram ON DEVICE at each block boundary — the mesh analog of
+    the runner's single-chip rdf_in_chunk program, so `run --mesh N`
+    stops paying a host-side gather of every per-atom array per RDF
+    sample.
+
+    Each device histograms its OWNED rows against the psum-assembled
+    global position table (ops.rdf.rdf_counts_rows) and one psum merges
+    the integer counts — bit-identical to the single-chip histogram.
+    """
+    from ..ops import rdf as ops_rdf
+    from .slab_react import assemble_global, reactive_mode
+
+    n_dev = mesh.devices.size
+    check_slab_cfg(cfg, n_dev)
+    step1 = make_slab_step(cfg, aux, mesh)
+    N = cfg.n_at
+    nsp = cfg.n_spec
+    snuc = np.asarray(spec_nuclei, np.int32)
+    nnum = np.asarray(nucl_number, np.int32)
+
+    def local_sample(st, h, nh):
+        valid = st.gid >= 0
+        gid = jnp.where(valid, st.gid, -1)
+        pos_g = assemble_global(N, st.gid, valid, st.pos, AXIS)
+        types_g = assemble_global(N, st.gid, valid, st.types, AXIS)
+        counts = ops_rdf.rdf_counts_rows(cfg, rcfg, st.pos, gid,
+                                         st.types, pos_g, types_g)
+        counts = jax.lax.psum(counts, AXIS)
+        # live species counts (reactive mutations change them); every
+        # gid is owned by exactly one device so the table is exact
+        spec_number = jnp.sum(
+            types_g[:, None] == jnp.arange(nsp, dtype=jnp.int32)[None, :],
+            axis=0, dtype=jnp.int32)
+        return ops_rdf._apply_weights(cfg, rcfg, counts, spec_number,
+                                      jnp.asarray(snuc),
+                                      jnp.asarray(nnum), h, nh)
+
+    specs = state_specs(mesh, reactive=reactive_mode(cfg))
+    nh_spec = P() if rcfg.nuclei else None
+    sample = shard_map(local_sample, mesh=mesh,
+                       in_specs=(specs, P(), nh_spec),
+                       out_specs=(P(), nh_spec), check_vma=False)
+
+    def chunk(st, h, nh, ff, n: int):
+        n_blocks, rem = divmod(n, p_rdf)
+
+        def steps(st, r):
+            def ibody(s, _):
+                return step1(s, ff), None
+            st, _ = jax.lax.scan(ibody, st, None, length=r)
+            return st
+
+        def body(carry, _):
+            st, h, nh = carry
+            st = steps(st, p_rdf)
+            h, nh = sample(st, h, nh)
+            return (st, h, nh), None
+
+        if n_blocks:
+            (st, h, nh), _ = jax.lax.scan(body, (st, h, nh), None,
+                                          length=n_blocks)
+        if rem:
+            st = steps(st, rem)
+        return st, h, nh
+
+    return jax.jit(chunk, static_argnums=4)

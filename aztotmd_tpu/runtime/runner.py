@@ -111,8 +111,7 @@ class MDRunner:
         self.chunk = _gcd_all(periods) or 1000
         self.chunk = min(self.chunk, 1000)
         self.rdf_in_chunk = bool(ctl.fr_rdf and ctl.r_rdf > 0
-                                 and self.chunk % ctl.fr_rdf == 0
-                                 and self.mesh is None)
+                                 and self.chunk % ctl.fr_rdf == 0)
         if ctl.fr_rdf and not self.rdf_in_chunk:
             # fall back: align chunks to the RDF period on the host
             self.chunk = _gcd_all(periods + [ctl.fr_rdf]) or ctl.fr_rdf
@@ -262,6 +261,13 @@ class MDRunner:
                         cfg, rcfg, pos, types, spec_number,
                         self._spec_nuclei, self._nucl_number, hist, nhist)
                 self._rdf_fn = _rdf_s
+            if rcfg is not None and self.rdf_in_chunk:
+                # fused mesh chunk: per-slab partial RDF counts + one
+                # psum per sample instead of a host gather per sample
+                self._chunk_rdf_fn = _slab.make_slab_rdf_chunk(
+                    cfg, rcfg, self.aux, self.mesh,
+                    np.asarray(self._spec_nuclei),
+                    np.asarray(self._nucl_number), self.p_rdf)
             return
         self.multi = make_multi_step(cfg, self.aux, donate=True)
 
