@@ -622,8 +622,11 @@ class MDRunner:
 
     # ------------------------------------------------------------------
     def _sample(self, step: int):
-        st = self._sview()
         if self.p_stat and step % self.p_stat == 0:
+            # build the (host-gathered, on a mesh) view only when a
+            # period actually fires — an unconditional gather here cost
+            # a full d2h of every per-atom array per CHUNK on mesh runs
+            st = self._sview()
             t = step * self.cfg.dt
             # ONE batched device->host fetch: each blocking scalar pull
             # over the axon tunnel costs a ~100 ms round trip; a dozen of
@@ -661,8 +664,16 @@ class MDRunner:
     def _sample_rest(self, step: int):
         """Non-stat sampling (hist/vaf/rdf/traj/revcon/checkpoint) — in
         ring mode these fire only at host-event boundaries."""
-        st = self._sview()
+        _st = [None]
+
+        def sv():
+            # lazy: gather the view only for branches that fire
+            if _st[0] is None:
+                _st[0] = self._sview()
+            return _st[0]
+
         if self.w_hist and step % self.p_hist == 0:
+            st = sv()
             from .. import units
             i1 = 1 if self.cfg.n_at > 1 else 0
             (E, neg_mom, pos_mom, p1x, p1y) = jax.device_get(
@@ -677,12 +688,13 @@ class MDRunner:
 
         if self.w_vaf and step % self.p_vaf == 0:
             self.w_vaf.write_row(step * self.cfg.dt, step,
-                                 np.asarray(st.vel))
+                                 np.asarray(sv().vel))
 
         if self.rcfg is not None and self.p_rdf and not self.rdf_in_chunk \
                 and not self.ring_ok and step % self.p_rdf == 0:
             # legacy per-step sampling; in ring mode the samples are
             # fused into the ring program (never double-sample here)
+            st = sv()
             self.hist, self.nhist = self._rdf_fn(
                 st.pos, st.types, st.spec_number, self.hist, self.nhist)
             self.rdf_count += 1
@@ -698,6 +710,7 @@ class MDRunner:
 
         if self.w_traj and step >= self.ctl.st_traj \
                 and step % self.p_traj == 0:
+            st = sv()
             self.w_traj.write_row(step * self.cfg.dt, step,
                                   np.asarray(st.pos),
                                   np.asarray(st.types),
@@ -705,6 +718,7 @@ class MDRunner:
 
         if self.w_bindtraj and step >= self.ctl.bindtraj_start \
                 and step % self.p_bindtraj == 0:
+            st = sv()
             self.w_bindtraj.write_row(step * self.cfg.dt, step,
                                       self.bindtraj_idx,
                                       np.asarray(st.pos),
@@ -716,7 +730,7 @@ class MDRunner:
             self._write_revcon(suffix=str(step))
 
         if self.checkpoint_every and step % self.checkpoint_every == 0:
-            ck = self._slab_to_mdstate() if self.mesh is not None else st
+            ck = self._slab_to_mdstate() if self.mesh is not None else sv()
             save_checkpoint(os.path.join(self.out_dir, "checkpoint.npz"),
                             ck, {"step": step})
 
