@@ -214,3 +214,50 @@ def test_rdf_overfill_writes_before_reset(tmp_path):
     # reset just zeroed the live histogram
     assert open(final).read() == open(
         os.path.join(out, "rdf1200.dat")).read()
+
+
+def test_rdf_counts_rows_partition_sums_to_allpairs():
+    """The slab chunk's per-device partial counts
+    (ops.rdf.rdf_counts_rows over disjoint row sets) must sum to the
+    single-chip all-pairs counts EXACTLY — the bit-exactness claim the
+    psum merge in parallel/slab.make_slab_rdf_chunk rests on."""
+    cfg, ff, state, aux = build_lj_argon(n_atoms=120, density=0.012,
+                                         dtype="f64", seed=11)
+    from aztotmd_tpu.core.config import make_cell_grid
+    r_rdf, d_rdf = 6.0, 0.1
+    grid = make_cell_grid(cfg.box, r_rdf, cfg.n_at)
+    rcfg = ops_rdf.RdfConfig(n_bin=int(r_rdf / d_rdf), d_rdf=d_rdf,
+                             r2_max=r_rdf * r_rdf, n_spec=1, n_nucl=1,
+                             nuclei=False, grid=grid)
+    N = cfg.n_at
+    pos = state.pos
+    types = state.types
+
+    hist0, _ = ops_rdf.zero_hist(rcfg, jnp.float64)
+    want, _ = ops_rdf.rdf_sample_allpairs(
+        cfg, rcfg, pos, types, state.spec_number,
+        jnp.zeros((1,), jnp.int32), jnp.asarray([N], jnp.int32), hist0)
+
+    # partition the atoms into 4 shuffled, padded row sets (the slab
+    # slot layout: rows in arbitrary order, dead slots gid -1)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(N)
+    total = np.zeros((rcfg.n_bin, rcfg.n_pair))
+    C = N // 4 + 3                              # slot capacity w/ padding
+    for d in range(4):
+        own = perm[d * (N // 4):(d + 1) * (N // 4)] if d < 3 \
+            else perm[3 * (N // 4):]
+        gid = np.full(C, -1, np.int32)
+        gid[:len(own)] = own
+        row_pos = np.zeros((C, 3))
+        row_pos[:len(own)] = np.asarray(pos)[own]
+        row_types = np.zeros(C, np.int32)
+        row_types[:len(own)] = np.asarray(types)[own]
+        counts = ops_rdf.rdf_counts_rows(
+            cfg, rcfg, jnp.asarray(row_pos), jnp.asarray(gid),
+            jnp.asarray(row_types), pos, types)
+        total += np.asarray(counts)
+
+    sn = np.asarray(state.spec_number, np.float64)
+    w = 2.0 * float(np.prod(cfg.box)) / (sn[0] * sn[0])
+    np.testing.assert_array_equal(total * w, np.asarray(want))
