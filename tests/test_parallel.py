@@ -642,3 +642,46 @@ def test_slab_ejump_matches_single_device():
                                rtol=0, atol=1e-7)
     assert float(out.energies.tot) == pytest.approx(
         float(ref.energies.tot), rel=1e-8)
+
+
+def test_mesh_checkpoint_resumes_single_chip(tmp_path):
+    """Checkpoints written by a mesh run are mesh-independent MDState
+    snapshots (_slab_to_mdstate): resuming them single-chip continues
+    the same trajectory within f32 tolerance."""
+    from aztotmd_tpu.runtime.checkpoint import load_checkpoint
+    from aztotmd_tpu.runtime.runner import MDRunner
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+
+    deck = tmp_path / "deck"
+    deck.mkdir()
+    _write_lj_deck(str(deck))
+
+    # mesh run stopped mid-deck, leaving a checkpoint at step 60
+    rm = MDRunner(load_deck_dir(str(deck), dtype="f32"),
+                  out_dir=str(tmp_path / "om"), quiet=True,
+                  mesh_devices=4, checkpoint_every=30)
+    total = rm.ctl.n_step
+    rm.run(60)
+    rm.finalize()
+
+    # single-chip reference: full run, and a resumed run from the
+    # mesh checkpoint that must rejoin it
+    r1 = MDRunner(load_deck_dir(str(deck), dtype="f32"),
+                  out_dir=str(tmp_path / "o1"), quiet=True)
+    r1.run()
+    r1.finalize()
+
+    sysd = load_deck_dir(str(deck), dtype="f32")
+    ck = tmp_path / "om" / "checkpoint.npz"
+    assert ck.exists()
+    sysd["state"] = load_checkpoint(str(ck), sysd["state"])
+    step0 = int(sysd["state"].step)
+    assert 0 < step0 < total
+    rr = MDRunner(sysd, out_dir=str(tmp_path / "or"), quiet=True,
+                  append=True)
+    rr.run()
+
+    p_ref = np.asarray(r1.state.pos)
+    p_res = np.asarray(rr.state.pos)
+    assert int(rr.state.step) == int(r1.state.step)
+    np.testing.assert_allclose(p_res, p_ref, rtol=1e-4, atol=1e-4)
