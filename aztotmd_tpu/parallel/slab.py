@@ -325,14 +325,19 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
     return jax.tree_util.tree_map_with_path(put, sstate)
 
 
-def gather_state(sstate: SlabState, n_at: int):
+GATHER_FIELDS = ("pos", "vel", "frc", "engs", "radii", "types")
+
+
+def gather_state(sstate: SlabState, n_at: int, fields=GATHER_FIELDS):
     """Host-side: reassemble per-atom arrays in global-id order.
-    Returns dict of numpy arrays (pos, vel, frc, engs, radii, types)."""
+    Returns dict of numpy arrays for the requested fields (each d2h
+    pull over the tunnel costs real time — stat sampling asks for
+    ("pos",) only)."""
     gid = np.asarray(sstate.gid)
     live = gid >= 0
     order = gid[live]
     out = {}
-    for name in ("pos", "vel", "frc", "engs", "radii", "types"):
+    for name in fields:
         a = np.asarray(getattr(sstate, name))[live]
         full = np.zeros((n_at,) + a.shape[1:], a.dtype)
         full[order] = a

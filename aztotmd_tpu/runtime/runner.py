@@ -625,8 +625,10 @@ class MDRunner:
         if self.p_stat and step % self.p_stat == 0:
             # build the (host-gathered, on a mesh) view only when a
             # period actually fires — an unconditional gather here cost
-            # a full d2h of every per-atom array per CHUNK on mesh runs
-            st = self._sview()
+            # a full d2h of every per-atom array per CHUNK on mesh
+            # runs — and only the positions: the other stat inputs are
+            # replicated scalars (msd_d + console x1 need pos)
+            st = self._sview(fields=("pos",))
             t = step * self.cfg.dt
             # ONE batched device->host fetch: each blocking scalar pull
             # over the axon tunnel costs a ~100 ms round trip; a dozen of
@@ -748,22 +750,25 @@ class MDRunner:
             parts.append(f"U={eng['temp']:.3G}")
         print(" ".join(parts), flush=True)
 
-    def _sview(self):
+    def _sview(self, fields=None):
         """Sampling/writer view of the state: the MDState itself on a
         single chip, or an MDState-shaped namespace assembled from the
         slab state (replicated scalars pass through as device arrays,
         per-atom arrays are gathered host-side in gid order)."""
         if self.mesh is None:
             return self.state
-        st = self.state
-        step = int(st.step)
-        if self._sview_cache is not None and \
-                self._sview_cache[0] == step:
-            return self._sview_cache[1]
         from types import SimpleNamespace
         from ..parallel import slab as _slab
+        st = self.state
+        fields = tuple(fields or _slab.GATHER_FIELDS)
+        step = int(st.step)
+        if self._sview_cache is not None and \
+                self._sview_cache[0] == step and \
+                set(fields) <= self._sview_cache[2]:
+            return self._sview_cache[1]
         cfg = self.cfg
-        g = _slab.gather_state(st, cfg.n_at)
+        g = _slab.gather_state(st, cfg.n_at, fields)
+        g = {k: g.get(k) for k in _slab.GATHER_FIELDS}
         z = np.zeros((), np.int32)
         nbt = max(cfg.n_bond_types, 1)
         rg = st.rg
@@ -816,7 +821,7 @@ class MDRunner:
             view.ang_central, view.ang_lig1 = t.ang_central, t.ang_lig1
             view.ang_lig2, view.ang_type = t.ang_lig2, t.ang_type
             view.n_angle = t.n_angle
-        self._sview_cache = (step, view)
+        self._sview_cache = (step, view, set(fields))
         return view
 
     def _slab_to_mdstate(self):
