@@ -8,7 +8,8 @@ import pytest
 
 EX = os.path.join(os.path.dirname(__file__), "..", "examples")
 
-DECKS = ["molten_salt", "bonded_fluid", "ejump_redox"]
+DECKS = ["molten_salt", "bonded_fluid", "ejump_redox",
+         "reactive_polymer"]
 
 
 @pytest.mark.parametrize("deck", DECKS)
@@ -20,3 +21,16 @@ def test_example_deck_runs(deck):
     st = multi(s["state"], s["ff"], 3)
     assert bool(np.all(np.isfinite(np.asarray(st.pos))))
     assert np.isfinite(float(st.energies.tot))
+
+
+def test_reactive_polymer_forms_bonds():
+    """The reactive example actually polymerizes: bonds appear within
+    a few hundred steps from an initially bond-free configuration."""
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+    from aztotmd_tpu.runtime.step import make_multi_step
+    s = load_deck_dir(os.path.join(EX, "reactive_polymer"), dtype="f32")
+    assert s["cfg"].use_bnd == 2 and int(s["state"].n_bond) == 0
+    multi = make_multi_step(s["cfg"], s["aux"])
+    st = multi(s["state"], s["ff"], 300)
+    assert int(st.n_bond) > 0
+    assert bool(np.all(np.isfinite(np.asarray(st.pos))))

@@ -172,8 +172,52 @@ Fe2\tFe3\tbuck\t8.0\t800.0\t0.3\t0.0
 """)
 
 
+def reactive_polymer():
+    """Runtime bond chemistry (the reference's flagship capability,
+    cuBonds.cu:306-706, :898-1100): A-B bonds FORM within the linkage
+    radius and BREAK when stretched past 2.5 A — the deck starts with
+    no bonds at all and polymerizes as it runs (watch nBnd in the
+    console line / stat_bnd.dat)."""
+    d = os.path.join(EX, "reactive_polymer")
+    rng = np.random.default_rng(13)
+    box = 20.0
+    g = np.arange(8) * 2.5 + 1.25
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    pos = (pos + rng.uniform(-0.5, 0.5, pos.shape)) % box
+    names = ["A", "B"] * (len(pos) // 2)
+    rng.shuffle(names)
+    write_xyz(os.path.join(d, "atoms.xyz"), names, pos, box)
+    write(os.path.join(d, "control.txt"), """timestep 0.0005 ps
+nstep 20000
+nequil 500
+eqfreq 100
+temperature 400.0\tnose\t0.2
+init_vel\tgaus
+
+permittivity 1.0
+elec\tnone
+
+rdf\t6.0 0.05\t100\t0\t-nucl
+stat\t100
+""")
+    write(os.path.join(d, "field.txt"), """spec 2
+A\tA\t20.0\t0.0\t0.0
+B\tB\t20.0\t0.0\t0.0
+red-ox 0
+vdw 3
+A\tA\tlnjs\t5.0\t0.008\t2.4
+A\tB\tlnjs\t5.0\t0.006\t2.3
+B\tB\tlnjs\t5.0\t0.008\t2.4
+bonds 1
+1 A B harm 12.0 1.5 con br 2.5 A B
+linkage 1
+A B 1.8 1
+""")
+
+
 if __name__ == "__main__":
     molten_salt()
     bonded_fluid()
     ejump_redox()
+    reactive_polymer()
     print("examples written under", os.path.abspath(EX))
