@@ -34,6 +34,29 @@ def cell_ids(cfg, coords):
     return (coords[..., 0] * ncy + coords[..., 1]) * ncz + coords[..., 2]
 
 
+def _bin_slots(cfg, pos):
+    """Shared binning core: sort atoms by cell id and compute each
+    atom's flat table slot (cell id * cap + within-cell rank).
+
+    Returns (order (N,) sorted atom ids, slot (N,) scatter targets with
+    rank >= cap overflow dropped via an out-of-range index,
+    max_occupancy).  build_cell_table and build_pos_table MUST bin
+    identically — the fused and fallback neighbor pipelines are
+    cross-checked for set equality (tests/test_neighbors.py)."""
+    N = cfg.n_at
+    grid = cfg.grid
+    cap = grid.cap
+    cid = cell_ids(cfg, cell_coords(cfg, pos))            # (N,)
+    order = jnp.argsort(cid)                              # stable
+    sorted_cid = cid[order]
+    # rank of each atom within its cell = position - first position of cell
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(N, dtype=jnp.int32) - first.astype(jnp.int32)
+    slot = jnp.where(rank < cap, sorted_cid * cap + rank,
+                     grid.n_cell * cap)
+    return order, slot, jnp.max(rank) + 1
+
+
 def build_cell_table(cfg, pos):
     """Build the FLAT (n_cell * cap,) atom-index table.
 
@@ -46,23 +69,9 @@ def build_cell_table(cfg, pos):
     """
     N = cfg.n_at
     grid = cfg.grid
-    cap = grid.cap
-    n_cell = grid.n_cell
-
-    cid = cell_ids(cfg, cell_coords(cfg, pos))            # (N,)
-    order = jnp.argsort(cid)                              # stable
-    sorted_cid = cid[order]
-    # rank of each atom within its cell = position - first position of cell
-    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank = jnp.arange(N, dtype=jnp.int32) - first.astype(jnp.int32)
-
-    slot = sorted_cid * cap + rank
-    # drop overflowing atoms (rank >= cap) via out-of-range scatter index
-    slot = jnp.where(rank < cap, slot, n_cell * cap)
-    table = jnp.full((n_cell * cap,), N, dtype=jnp.int32)
+    order, slot, max_occ = _bin_slots(cfg, pos)
+    table = jnp.full((grid.n_cell * grid.cap,), N, dtype=jnp.int32)
     table = table.at[slot].set(order.astype(jnp.int32), mode="drop")
-
-    max_occ = jnp.max(rank) + 1
     return table, max_occ
 
 
@@ -124,19 +133,11 @@ def build_pos_table(cfg, pos):
     """
     N = cfg.n_at
     grid = cfg.grid
-    cap = grid.cap
-    n_cell = grid.n_cell
     dt = pos.dtype
-
-    cid = cell_ids(cfg, cell_coords(cfg, pos))            # (N,)
-    order = jnp.argsort(cid)                              # stable
-    sorted_cid = cid[order]
-    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank = jnp.arange(N, dtype=jnp.int32) - first.astype(jnp.int32)
-    slot = jnp.where(rank < cap, sorted_cid * cap + rank, n_cell * cap)
+    order, slot, max_occ = _bin_slots(cfg, pos)
     rows = jnp.concatenate([pos[order], order[:, None].astype(dt)],
                            axis=1)
-    ptab = jnp.zeros((n_cell * cap, 4), dt).at[:, 3].set(float(N))
+    ptab = jnp.zeros((grid.n_cell * grid.cap, 4), dt).at[:, 3].set(
+        float(N))
     ptab = ptab.at[slot].set(rows, mode="drop")
-    max_occ = jnp.max(rank) + 1
     return ptab, max_occ

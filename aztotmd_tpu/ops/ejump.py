@@ -138,6 +138,21 @@ def env_du_partial(cfg, ff, pos_i, types_i, pos_j, types_j, jmask,
     return out[0], out[1]
 
 
+def env_candidates(cfg, pos):
+    """(N, M) cell-table candidate list for the environment-dU sweep —
+    the same stencil reach as the pair pass (sentinel N, self
+    excluded).  Positions are invariant across a step's jump passes,
+    so callers running several do_jumps passes (jmp_oft, step.py)
+    build this ONCE per step and pass it as nbr_idx."""
+    from . import cell_list as cl
+    N = cfg.n_at
+    coords = cl.cell_coords(cfg, pos)
+    table, _ = cl.build_cell_table(cfg, pos)
+    cand = cl.gather_candidates(cfg, table, coords)
+    own = jnp.arange(N, dtype=cand.dtype)[:, None]
+    return jnp.where(cand == own, N, cand)
+
+
 def _env_mutation_energies(cfg, ff, state, nbr_idx=None):
     """Serial-twin ENVIRONMENT dU (ejump.cpp:200-262): per-atom energy
     change of switching atom i to its ox/red form, summed over its
@@ -157,13 +172,9 @@ def _env_mutation_energies(cfg, ff, state, nbr_idx=None):
         # large bond-free decks on the block/pallas/gather engines
         # (no Verlet list in the step): sweep the cell-table candidate
         # matrix — the same stencil reach as the pair pass — instead
-        # of O(N^2) all pairs
-        from . import cell_list as cl
-        coords = cl.cell_coords(cfg, pos)
-        table, _ = cl.build_cell_table(cfg, pos)
-        cand = cl.gather_candidates(cfg, table, coords)
-        own = jnp.arange(N, dtype=cand.dtype)[:, None]
-        nbr_idx = jnp.where(cand == own, N, cand)
+        # of O(N^2) all pairs.  step.py hoists this build out of the
+        # per-step jump-pass loop (positions are loop-invariant).
+        nbr_idx = env_candidates(cfg, pos)
     if nbr_idx is None:
         return env_du_partial(cfg, ff, pos, types, pos, types,
                               jnp.ones((N,), bool),
@@ -171,27 +182,35 @@ def _env_mutation_energies(cfg, ff, state, nbr_idx=None):
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
     types_p = jnp.concatenate(
         [types, jnp.zeros((1,), jnp.int32)], axis=0)
-    valid = nbr_idx < N
-    delta = min_image(pos[:, None, :] - pos_p[nbr_idx], cfg)
-    tj = types_p[nbr_idx]
-    r2 = jnp.sum(delta * delta, axis=-1)
-    within = valid & (r2 <= cfg.r2_max)
-    r2s = jnp.where(within, r2, 1.0)
-    r = jnp.sqrt(r2s)
-
     q = ff.spec_charge
-    out = []
+    # column-chunk the AoS gather + family evals: the (N, M, 3) gather
+    # result lane-pads 3 -> 128, so bound the transient like the
+    # neighbor rebuild does (neighbors.py) instead of materializing a
+    # cell-matrix-wide sweep at once
+    M = nbr_idx.shape[1]
+    chunk = max(1, int((2 << 30) // max(N * 128 * 4, 1)))
+    sums = [jnp.zeros((N,), dt), jnp.zeros((N,), dt)]
+    forms = []
     for table in (ff.spec_oxform, ff.spec_redform):
         new_t = table[types] - 1                    # -1 = no form
-        ok = new_t >= 0
-        new_safe = jnp.maximum(new_t, 0)
-        dv = _vdw_energy(cfg, ff, new_safe[:, None], tj, r2s, r) \
-            - _vdw_energy(cfg, ff, types[:, None], tj, r2s, r)
-        dq = (q[new_safe] - q[types])[:, None]
-        dc = cfg.coul_scale * q[tj] / r * dq
-        contrib = jnp.where(within & ok[:, None], dv + dc, 0.0)
-        out.append(jnp.sum(contrib, axis=1))
-    return out[0], out[1]
+        forms.append((new_t >= 0, jnp.maximum(new_t, 0)))
+    for i in range(0, M, chunk):
+        nb = nbr_idx[:, i:i + chunk]
+        valid = nb < N
+        delta = min_image(pos[:, None, :] - pos_p[nb], cfg)
+        tj = types_p[nb]
+        r2 = jnp.sum(delta * delta, axis=-1)
+        within = valid & (r2 <= cfg.r2_max)
+        r2s = jnp.where(within, r2, 1.0)
+        r = jnp.sqrt(r2s)
+        for k, (ok, new_safe) in enumerate(forms):
+            dv = _vdw_energy(cfg, ff, new_safe[:, None], tj, r2s, r) \
+                - _vdw_energy(cfg, ff, types[:, None], tj, r2s, r)
+            dq = (q[new_safe] - q[types])[:, None]
+            dc = cfg.coul_scale * q[tj] / r * dq
+            contrib = jnp.where(within & ok[:, None], dv + dc, 0.0)
+            sums[k] = sums[k] + jnp.sum(contrib, axis=1)
+    return sums[0], sums[1]
 
 
 def do_jumps(cfg, ff, state, jump_idx, active=None, nbr_idx=None,

@@ -977,11 +977,15 @@ def make_slab_rdf_chunk(cfg, rcfg, aux, mesh: Mesh, spec_nuclei,
         counts = ops_rdf.rdf_counts_rows(cfg, rcfg, st.pos, gid,
                                          st.types, pos_g, types_g)
         counts = jax.lax.psum(counts, AXIS)
-        # live species counts (reactive mutations change them); every
-        # gid is owned by exactly one device so the table is exact
-        spec_number = jnp.sum(
-            types_g[:, None] == jnp.arange(nsp, dtype=jnp.int32)[None, :],
-            axis=0, dtype=jnp.int32)
+        # live species counts (reactive mutations change them) from
+        # the OWNED valid slots — a gid lost to a migration deletion
+        # then counts as missing, not as species 0 (the zero-filled
+        # assembled table would skew the normalization)
+        spec_number = jax.lax.psum(jnp.sum(
+            valid[:, None]
+            & (st.types[:, None]
+               == jnp.arange(nsp, dtype=jnp.int32)[None, :]),
+            axis=0, dtype=jnp.int32), AXIS)
         return ops_rdf._apply_weights(cfg, rcfg, counts, spec_number,
                                       jnp.asarray(snuc),
                                       jnp.asarray(nnum), h, nh)

@@ -242,9 +242,17 @@ def reactive_pass(cfg, ff, n_at, st_dict, valid, rg: ReactiveGlobals,
                 cfg, ff, table, pos_g, v.types, v.parents,
                 st_dict["pos"], row_own, row_types, row_parents,
                 want_bind=want_bind, want_jump=want_jump)
-            bind_idx = assemble_global(N, gid, valid, b_i, axis)
-            bind_r2 = assemble_global(N, gid, valid, b_r2, axis)
-            jump_idx = assemble_global(N, gid, valid, j_i, axis)
+            # merge with a SENTINEL-preserving psum: scatter (idx - N)
+            # so a gid no device owns (an atom lost to a migration
+            # deletion — already warned, run degraded) sums to 0 and
+            # lands back on the sentinel N instead of looking like a
+            # valid candidate pointing at atom 0
+            bind_idx = assemble_global(N, gid, valid, b_i - N, axis) + N
+            jump_idx = assemble_global(N, gid, valid, j_i - N, axis) + N
+            bind_r2 = assemble_global(
+                N, gid, valid, jnp.where(jnp.isfinite(b_r2), b_r2, 0),
+                axis)
+            bind_r2 = jnp.where(bind_idx >= N, jnp.inf, bind_r2)
         if want_bind:
             v = ops_bonds.create_bonds(cfg, ff, v, bind_idx, bind_r2)
         if want_jump:

@@ -202,9 +202,14 @@ def make_step(cfg, aux: StepAux | None = None,
             # over the Verlet list when the neighbor engine runs
             # (ejump.cpp:200-262); other engines fall back to a masked
             # all-pairs sweep inside do_jumps
-            jump_nbr = state.nbr_idx \
-                if (cfg.pair_engine == "neighbor"
-                    and not cfg.use_bnd) else None
+            jump_nbr = None
+            if not cfg.use_bnd:
+                if cfg.pair_engine == "neighbor":
+                    jump_nbr = state.nbr_idx
+                elif cfg.n_at > 8192 and cfg.grid is not None:
+                    # hoist the cell-table candidate build out of the
+                    # jump passes (positions are invariant across them)
+                    jump_nbr = ops_ejump.env_candidates(cfg, state.pos)
             f = int(cfg.ejump_freq)
             if f < 0:
                 # jmp_rare: one jump pass every |f| steps — gate by

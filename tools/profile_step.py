@@ -49,7 +49,7 @@ def main():
     for _ in range(10):
         s = block50(s)
     np.asarray(s.pos)                            # hard sync (d2h)
-    print(f"block50 warm: {(time.time() - t0) / 10:.1f} ms/call",
+    print(f"block50 warm: {(time.time() - t0) / 10 * 1e3:.1f} ms/call",
           file=sys.stderr)
 
     with jax.profiler.trace("/tmp/step_trace"):
