@@ -245,6 +245,11 @@ class SimConfig:
     n_neigh2: int = 0
     nb_skin2: float = 0.0
     nb_outer: int = 1
+    # Morton block-sparse engine (ops.pallas_sparse): tile size and the
+    # static worklist capacity (interacting ordered tile pairs); the
+    # runner regrows pair_cap when PairResult.max_occ exceeds it
+    sparse_tile: int = 256
+    sparse_pair_cap: int = 0
 
     # capacities
     mx_bond: int = 0
@@ -316,23 +321,41 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
                                       n_sample=2048)
         pair_engine = "neighbor" if mx_cnt <= 64 else "block"
 
-    if pair_engine in ("block", "pallas"):
+    sparse_tile = 256
+    sparse_pair_cap = 0
+    if pair_engine in ("block", "pallas", "sparse"):
         from ..ops.cellblock import make_block_grid
         grid = make_block_grid(box, r_max, n_at, max_cells=max_cells,
                                pos=pos,
                                hint_edge=ctl.cell_size
                                if ctl.use_clist else 0.0)
+        block_cost = (len(grid.stencil) * grid.cap * grid.cap
+                      * grid.dims[0] * grid.dims[1] * grid.dims[2])
         if pair_engine == "block":
-            # clustered decks (case study 2): every cell decomposition
-            # overcounts the dense core (cap^2 per stencil offset); the
-            # fused dense O(N^2) Pallas kernel wins outright when padded
-            # N^2 undercuts the modeled block cost (~20x at cs2's 4k
-            # atoms in a 21 A cluster)
-            block_cost = (len(grid.stencil) * grid.cap * grid.cap
-                          * grid.dims[0] * grid.dims[1] * grid.dims[2])
+            # three modeled slot-pair costs, best engine wins:
+            # * block: stencil * cap^2 * n_cell (cap set by the densest
+            #   cell, so a clustered core poisons the whole grid);
+            # * pallas dense O(N^2): padded N^2 (cs2 regime, ~20x under
+            #   block at 4k atoms in a 21 A cluster);
+            # * Morton block-sparse tiles (ops.pallas_sparse): occupied
+            #   tile-pair count * T^2, weighted 2x for its per-step
+            #   sort/worklist overhead (large multi-cluster decks).
             n_pad = _round_up(n_at, 512)
-            if n_pad * n_pad < block_cost:
-                pair_engine = "pallas"
+            cost = block_cost
+            if n_pad * n_pad < cost:
+                pair_engine, cost = "pallas", n_pad * n_pad
+            if pos is not None and n_at > 4096:
+                from ..ops.pallas_sparse import estimate_sparse_pairs
+                p0 = estimate_sparse_pairs(box, r_max, pos, sparse_tile)
+                if 2 * p0 * sparse_tile * sparse_tile < cost:
+                    pair_engine = "sparse"
+        if pair_engine == "sparse":
+            from ..ops.pallas_sparse import estimate_sparse_pairs
+            n_t = _round_up(n_at, sparse_tile) // sparse_tile
+            p0 = estimate_sparse_pairs(box, r_max, pos, sparse_tile) \
+                if pos is not None else n_t * n_t
+            sparse_pair_cap = min(_round_up(p0 + p0 // 2 + 4 * n_t, 64),
+                                  n_t * n_t)
     else:
         grid = make_cell_grid(box, r_max, n_at,
                               target_occupancy=target_occupancy,
@@ -466,6 +489,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         ext_field=(ctl.ux, ctl.uy, ctl.uz),
         shift_x=ctl.shift_x, shift_val=ctl.shift_val,
         grid=grid, pair_engine=pair_engine,
+        sparse_tile=sparse_tile, sparse_pair_cap=sparse_pair_cap,
         nb_grid=nb_grid, nb_skin=nb_skin, n_neigh=n_neigh,
         nb_rebuild=nb_rebuild,
         n_neigh2=n_neigh2 if pair_engine == "neighbor" else 0,

@@ -226,58 +226,25 @@ _BIG = 1e30
 _IBIG = 2 ** 31 - 1
 
 
-def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
-                     want_bind, want_jump,
-                     params_ref, donacc_ref,
-                     xi_ref, yi_ref, zi_ref, vi_ref, ti_ref, ri_ref,
-                     pi_ref,
-                     xj_ref, yj_ref, zj_ref, vj_ref, tj_ref, rj_ref,
-                     pj_ref,
-                     fx_ref, fy_ref, fz_ref, ev_ref, ec_ref,
-                     cand_refs):
-    """One (T_i, T_j) tile of the dense O(N^2) pair pass.
+def _tile_physics(cfg, T, nsp, use_coul, use_radii, want_bind, want_jump,
+                  params_ref, donacc_ref, r2, inr, gi, gj,
+                  ti, tj, rai, raj, par_ok):
+    """Shared (T, T)-tile pair physics: masked force-over-r sum, per-row
+    energies, and running bind/jump row minima.
 
-    The j grid axis is innermost, so the (1, T) output rows for tile i
-    stay VMEM-resident while every j tile streams past — the classic
-    flash-attention-style accumulation (reference all_pair kernel:
-    cuPairs.cu:220-270, redesigned for the VPU instead of a thread per
-    atom)."""
+    Used by both the dense O(N^2) kernel (gi/gj from the grid position)
+    and the Morton block-sparse kernel (gi/gj gathered global ids) —
+    the Pallas analog of pair_1's body (cuPairs.cu:117-167).
+
+    Returns (fsum_clipped, ev, ec, cands) where cands is a list of
+    (min_r2, argmin_id) (T, 1) pairs in [bind, jump_donor, jump_acc]
+    order for the enabled features.
+    """
     f32 = jnp.float32
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    # i-side blocks are (T, 1) columns, j-side (1, T) rows — the
-    # outer-product broadcast gives the (T, T) tile with no transposes,
-    # and lane-axis sums land back in the (T, 1) output layout
-    dx = xi_ref[0] - xj_ref[0]
-    dy = yi_ref[0] - yj_ref[0]
-    dz = zi_ref[0] - zj_ref[0]
-    # min-image (box can be smaller than 2*rcut only for tiny decks the
-    # dispatcher sends elsewhere)
-    bx, by, bz = (f32(cfg.box[k]) for k in range(3))
-    dx = dx - bx * jnp.round(dx * f32(1.0 / cfg.box[0]))
-    dy = dy - by * jnp.round(dy * f32(1.0 / cfg.box[1]))
-    dz = dz - bz * jnp.round(dz * f32(1.0 / cfg.box[2]))
-    r2 = dx * dx + dy * dy + dz * dz
-
-    vm = vi_ref[0] * vj_ref[0]
-    # self-pair exclusion by GLOBAL slot index (only the diagonal tile
-    # can hit it, but the compare is cheap enough to apply everywhere)
-    gi = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    gj = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    vm = jnp.where(gi == gj, 0.0, vm)
-    inr = jnp.where(r2 <= f32(cfg.r2_max), vm, 0.0)
-
     r2s = jnp.where(inr > 0.0, r2, 1.0)
     ri = jax.lax.rsqrt(r2s)
     r2i = ri * ri
     rr = r2s * ri
-
-    if use_radii:
-        rai = ri_ref[0]
-        raj = rj_ref[0]
-    ti = ti_ref[0] if nsp > 1 else None
-    tj = tj_ref[0] if nsp > 1 else None
 
     kind_tab = cfg.vdw_kind_table
     fsum = jnp.zeros((T, T), f32)
@@ -297,8 +264,6 @@ def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
     if want_bind:
         bind_r2t = jnp.full((T, 1), _BIG, f32)
         bind_idt = jnp.full((T, 1), _IBIG, jnp.int32)
-        par_ok = ((pi_ref[0] != gj) & (pj_ref[0] != gi)) \
-            if pi_ref is not None else jnp.ones((T, T), bool)
     if want_jump:
         in_ej = r2 <= f32(cfg.r2_elec)
         jd_r2t = jnp.full((T, 1), _BIG, f32)
@@ -358,7 +323,69 @@ def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
                 ja_r2t = jnp.where(upd, m, ja_r2t)
                 ja_idt = jnp.where(upd, idm, ja_idt)
 
-    fsum = jnp.clip(fsum, -MX_FRC, MX_FRC)
+    cands = []
+    if want_bind:
+        cands.append((bind_r2t, bind_idt))
+    if want_jump:
+        cands.append((jd_r2t, jd_idt))
+        cands.append((ja_r2t, ja_idt))
+    return jnp.clip(fsum, -MX_FRC, MX_FRC), ev, ec, cands
+
+
+def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
+                     want_bind, want_jump,
+                     params_ref, donacc_ref,
+                     xi_ref, yi_ref, zi_ref, vi_ref, ti_ref, ri_ref,
+                     pi_ref,
+                     xj_ref, yj_ref, zj_ref, vj_ref, tj_ref, rj_ref,
+                     pj_ref,
+                     fx_ref, fy_ref, fz_ref, ev_ref, ec_ref,
+                     cand_refs):
+    """One (T_i, T_j) tile of the dense O(N^2) pair pass.
+
+    The j grid axis is innermost, so the (1, T) output rows for tile i
+    stay VMEM-resident while every j tile streams past — the classic
+    flash-attention-style accumulation (reference all_pair kernel:
+    cuPairs.cu:220-270, redesigned for the VPU instead of a thread per
+    atom)."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # i-side blocks are (T, 1) columns, j-side (1, T) rows — the
+    # outer-product broadcast gives the (T, T) tile with no transposes,
+    # and lane-axis sums land back in the (T, 1) output layout
+    dx = xi_ref[0] - xj_ref[0]
+    dy = yi_ref[0] - yj_ref[0]
+    dz = zi_ref[0] - zj_ref[0]
+    # min-image (box can be smaller than 2*rcut only for tiny decks the
+    # dispatcher sends elsewhere)
+    bx, by, bz = (f32(cfg.box[k]) for k in range(3))
+    dx = dx - bx * jnp.round(dx * f32(1.0 / cfg.box[0]))
+    dy = dy - by * jnp.round(dy * f32(1.0 / cfg.box[1]))
+    dz = dz - bz * jnp.round(dz * f32(1.0 / cfg.box[2]))
+    r2 = dx * dx + dy * dy + dz * dz
+
+    vm = vi_ref[0] * vj_ref[0]
+    # self-pair exclusion by GLOBAL slot index (only the diagonal tile
+    # can hit it, but the compare is cheap enough to apply everywhere)
+    gi = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    gj = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    vm = jnp.where(gi == gj, 0.0, vm)
+    inr = jnp.where(r2 <= f32(cfg.r2_max), vm, 0.0)
+
+    rai = ri_ref[0] if use_radii else None
+    raj = rj_ref[0] if use_radii else None
+    ti = ti_ref[0] if nsp > 1 else None
+    tj = tj_ref[0] if nsp > 1 else None
+    par_ok = ((pi_ref[0] != gj) & (pj_ref[0] != gi)) \
+        if (want_bind and pi_ref is not None) \
+        else jnp.ones((T, T), bool)
+
+    fsum, ev, ec, cands = _tile_physics(
+        cfg, T, nsp, use_coul, use_radii, want_bind, want_jump,
+        params_ref, donacc_ref, r2, inr, gi, gj, ti, tj, rai, raj,
+        par_ok)
 
     @pl.when(j == 0)
     def _():
@@ -377,12 +404,6 @@ def _allpairs_kernel(cfg, T, nsp, use_coul, use_radii,
     ev_ref[0] += ev
     ec_ref[0] += ec
 
-    cands = []
-    if want_bind:
-        cands.append((bind_r2t, bind_idt))
-    if want_jump:
-        cands.append((jd_r2t, jd_idt))
-        cands.append((ja_r2t, ja_idt))
     for k, (m, idm) in enumerate(cands):
         r2_ref, id_ref = cand_refs[2 * k], cand_refs[2 * k + 1]
         cur = r2_ref[0]

@@ -971,6 +971,21 @@ class MDRunner:
                       f"k_cap={new_k}", file=sys.stderr)
                 self.rcfg = dataclasses.replace(self.rcfg, k_cap=new_k)
                 self._build_programs()
+        # sparse engine: cell_overflow carries the REQUIRED tile-pair
+        # worklist length; truncation past sparse_pair_cap means this
+        # step's forces silently lost tile pairs — regrow and rebuild
+        if self.cfg.pair_engine == "sparse":
+            need = int(self.state.cell_overflow)
+            if need > self.cfg.sparse_pair_cap:
+                from ..core.config import _round_up
+                new_cap = _round_up(need + max(64, need // 4), 64)
+                print(f"WARNING: sparse tile-pair count {need} exceeded "
+                      f"capacity {self.cfg.sparse_pair_cap}; rebuilding "
+                      f"with pair_cap={new_cap}", file=sys.stderr)
+                self.cfg = dataclasses.replace(self.cfg,
+                                               sparse_pair_cap=new_cap)
+                self._build_programs()
+            return
         # cell_overflow tracks the NB grid in neighbor mode, the main
         # grid otherwise — compare against the right capacity
         g = (self.cfg.nb_grid if self.cfg.pair_engine == "neighbor"

@@ -166,6 +166,9 @@ def make_step(cfg, aux: StepAux | None = None,
             if cfg.pair_engine == "pallas":
                 from ..ops.pallas_pair import pair_forces_pallas
                 pair_fn = pair_forces_pallas
+            elif cfg.pair_engine == "sparse":
+                from ..ops.pallas_sparse import pair_forces_sparse
+                pair_fn = pair_forces_sparse
             elif cfg.pair_engine == "block":
                 pair_fn = ops_cellblock.pair_forces_block
             else:

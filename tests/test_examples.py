@@ -9,7 +9,16 @@ import pytest
 EX = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 DECKS = ["molten_salt", "bonded_fluid", "ejump_redox",
-         "reactive_polymer"]
+         "reactive_polymer", "nanoclusters"]
+
+
+def test_nanoclusters_selects_sparse_engine():
+    """The multi-cluster deck must auto-route to the Morton block-sparse
+    engine with a sized worklist capacity (ops/pallas_sparse.py)."""
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+    s = load_deck_dir(os.path.join(EX, "nanoclusters"), dtype="f32")
+    assert s["cfg"].pair_engine == "sparse"
+    assert 0 < s["cfg"].sparse_pair_cap <= 2209
 
 
 @pytest.mark.parametrize("deck", DECKS)

@@ -215,9 +215,58 @@ A B 1.8 1
 """)
 
 
+def nanoclusters():
+    """Many dense LJ nanoparticles in a large periodic box — the
+    multi-cluster generalization of case study 2's geometry at a size
+    (12k atoms) past the dense O(N^2) kernel's sweet spot.  Auto-selects
+    the Morton block-sparse pair engine (ops/pallas_sparse.py): most
+    tile pairs are out of range, so the worklist kernel skips the empty
+    space a cell grid would pay cap^2 for."""
+    d = os.path.join(EX, "nanoclusters")
+    rng = np.random.default_rng(29)
+    box = 170.0
+    n_clusters = 10
+    per = 1200
+    centers = rng.uniform(18.0, box - 18.0, size=(n_clusters, 3))
+    # jittered-lattice spheres: min separation ~2.9 A keeps the LJ
+    # start well-behaved (random placement overlaps atoms and blows up
+    # within a few steps)
+    s = 3.4
+    g = (np.arange(-8, 9) + 0.5) * s
+    cube = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    cube = cube[np.argsort(np.sum(cube * cube, axis=1))][:per]
+    chunks = []
+    for k in range(n_clusters):
+        jit = rng.uniform(-0.25, 0.25, cube.shape)
+        chunks.append(centers[k] + cube + jit)
+    pos = np.concatenate(chunks) % box
+    names = ["Ar"] * len(pos)
+    write_xyz(os.path.join(d, "atoms.xyz"), names, pos, box)
+    write(os.path.join(d, "control.txt"), """timestep 0.001 ps
+nstep 10000
+nequil 500
+eqfreq 100
+temperature 90.0\tnose\t0.5
+init_vel\tgaus
+
+permittivity 1.0
+elec\tnone
+
+rdf\t6.0 0.05\t200\t0\t-nucl
+stat\t200
+""")
+    write(os.path.join(d, "field.txt"), """spec 1
+Ar\tAr\t39.948\t0.0\t0.0
+red-ox 0
+vdw 1
+Ar\tAr\tlnjs\t6.0\t0.0104\t3.4
+""")
+
+
 if __name__ == "__main__":
     molten_salt()
     bonded_fluid()
     ejump_redox()
     reactive_polymer()
+    nanoclusters()
     print("examples written under", os.path.abspath(EX))
