@@ -73,10 +73,15 @@ def main():
     from aztotmd_tpu.ops.pallas_sparse import (estimate_sparse_pairs,
                                                pair_forces_sparse)
 
+    import os
     rcut = 5.0
-    for n_atoms, n_clusters, box in ((8192, 6, 120.0),
-                                     (20000, 12, 180.0),
-                                     (40000, 24, 240.0)):
+    cases = {8192: (8192, 6, 120.0), 20000: (20000, 12, 180.0),
+             40000: (40000, 24, 240.0)}
+    sizes = [int(s) for s in os.environ.get(
+        "AZTOT_SPARSE_SIZES", "8192,20000,40000").split(",")]
+    tiles = [int(t) for t in os.environ.get(
+        "AZTOT_SPARSE_TILES", "128,256,512").split(",")]
+    for n_atoms, n_clusters, box in (cases[s] for s in sizes):
         pos = clustered(n_atoms, n_clusters, box)
         f = FieldSpec()
         f.species = [SpeciesSpec(name="S0", nuclei=0,
@@ -100,7 +105,7 @@ def main():
         print(f"\n=== N={n_atoms} clusters={n_clusters} box={box} "
               f"auto={cfg.pair_engine} block_cost={bc:.2e} "
               f"cap={g.cap} ===", file=sys.stderr)
-        for T in (128, 256, 512):
+        for T in tiles:
             est = estimate_sparse_pairs(cfg.box, cfg.r_max, pos, T)
             n_t = -(-n_atoms // T)
             print(f"  T={T}: worklist {est} of {n_t * n_t} "
@@ -114,7 +119,7 @@ def main():
         if n_atoms <= 20000:
             variants.append(("dense_T512", lambda p: pair_forces_allpairs(
                 cfg, ff, p, types)))
-        for T in (128, 256, 512):
+        for T in tiles:
             cap = min(int(estimate_sparse_pairs(cfg.box, cfg.r_max,
                                                 pos, T) * 1.3) + 64,
                       (-(-n_atoms // T)) ** 2)
@@ -125,11 +130,12 @@ def main():
             ms, out = timeit(f"N{n_atoms}/{name}", fn, pos_j)
             if out is not None:
                 outs[name] = (np.asarray(out.frc), float(out.eng_vdw))
-        ref = outs.get("block")
+        ref_name = "block" if "block" in outs else "dense_T512"
+        ref = outs.get(ref_name)
         if ref is not None:
             scale = np.abs(ref[0]).max() or 1.0
             for name, (frc, ev) in outs.items():
-                if name == "block":
+                if name == ref_name:
                     continue
                 md = np.abs(frc - ref[0]).max() / scale
                 ed = abs(ev - ref[1]) / max(abs(ref[1]), 1e-9)
