@@ -227,11 +227,20 @@ def nanoclusters():
     box = 170.0
     n_clusters = 10
     per = 1200
-    centers = rng.uniform(18.0, box - 18.0, size=(n_clusters, 3))
+    # non-overlapping centers (cluster radius ~22 A): rejection-sample
+    # with a 50 A minimum separation under the periodic metric
+    centers = []
+    while len(centers) < n_clusters:
+        c = rng.uniform(0.0, box, size=3)
+        dd = np.asarray(centers) - c if centers else np.zeros((0, 3))
+        dd -= box * np.round(dd / box)
+        if not len(dd) or (np.sum(dd * dd, axis=1) > 50.0 ** 2).all():
+            centers.append(c)
+    centers = np.asarray(centers)
     # jittered-lattice spheres: min separation ~2.9 A keeps the LJ
     # start well-behaved (random placement overlaps atoms and blows up
     # within a few steps)
-    s = 3.4
+    s = 2.6
     g = (np.arange(-8, 9) + 0.5) * s
     cube = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
     cube = cube[np.argsort(np.sum(cube * cube, axis=1))][:per]
@@ -259,7 +268,7 @@ stat\t200
 Ar\tAr\t39.948\t0.0\t0.0
 red-ox 0
 vdw 1
-Ar\tAr\tlnjs\t6.0\t0.0104\t3.4
+Ar\tAr\tlnjs\t6.0\t0.0104\t2.5
 """)
 
 
