@@ -254,6 +254,27 @@ def test_sparse_step_trajectory_matches_block_engine():
         float(sb.energies.tot), rel=1e-4)
 
 
+def test_sparse_step_atom_sharded_mesh_matches_single_device():
+    """The sparse engine under the 8-device atom-sharded mesh
+    (parallel/mesh.py: XLA propagates shardings through the unchanged
+    step) must reproduce the single-device step exactly."""
+    import jax.numpy as jnp
+    from aztotmd_tpu.parallel.mesh import make_mesh, make_sharded_step
+    from aztotmd_tpu.runtime.step import make_step
+
+    cfg, ff, (pos, types, rad) = _multi_cluster_system(
+        n_atoms=1536, nsp=2, elec=1)
+    from aztotmd_tpu.core.state import init_state
+    state = init_state(cfg, jnp.asarray(types), jnp.asarray(pos))
+    st1 = jax.jit(make_step(cfg, None))(state, ff)
+    mesh = make_mesh(8)
+    step, st, ffs = make_sharded_step(cfg, None, mesh, state, ff)[:3]
+    st2 = step(st, ffs)
+    np.testing.assert_array_equal(np.asarray(st1.pos), np.asarray(st2.pos))
+    np.testing.assert_array_equal(np.asarray(st1.frc), np.asarray(st2.frc))
+    assert float(st1.energies.tot) == float(st2.energies.tot)
+
+
 def test_sparse_auto_selected_for_large_clustered_deck():
     """build_sim_config must route a big multi-cluster system (past the
     dense kernel's N^2 sweet spot, with a cap-poisoned block grid) to
