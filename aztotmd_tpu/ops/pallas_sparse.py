@@ -156,32 +156,6 @@ def _sparse_kernel(cfg, T, nsp, use_coul, use_radii, want_bind,
     fx_ref, fy_ref, fz_ref, ev_ref, ec_ref = refs[2 * half:2 * half + 5]
     cand_refs = refs[2 * half + 5:]
 
-    dx = xi[0] - xj[0]
-    dy = yi[0] - yj[0]
-    dz = zi[0] - zj[0]
-    bx, by, bz = (f32(cfg.box[k]) for k in range(3))
-    dx = dx - bx * jnp.round(dx * f32(1.0 / cfg.box[0]))
-    dy = dy - by * jnp.round(dy * f32(1.0 / cfg.box[1]))
-    dz = dz - bz * jnp.round(dz * f32(1.0 / cfg.box[2]))
-    r2 = dx * dx + dy * dy + dz * dz
-
-    gi = gi_r[0]                                # (T, 1) global atom ids
-    gj = gj_r[0]                                # (1, T)
-    # validity: real atoms have gi >= 0 (padding slots carry -1); a
-    # padding WORKLIST entry zeroes the whole tile via valid_ref
-    vm = jnp.where((gi >= 0) & (gj >= 0) & (gi != gj), 1.0, 0.0)
-    vm = vm * valid_ref[p].astype(f32)
-    inr = jnp.where(r2 <= f32(cfg.r2_max), vm, 0.0)
-
-    par_ok = ((pi_r[0] != gj) & (pj_r[0] != gi)) if use_par \
-        else jnp.ones((T, T), bool)
-    fsum, ev, ec, cands = _tile_physics(
-        cfg, T, nsp, use_coul, use_radii, want_bind, want_jump,
-        params_ref, donacc_ref, r2, inr, gi, gj,
-        ti_r[0] if nsp > 1 else None, tj_r[0] if nsp > 1 else None,
-        ra_i[0] if use_radii else None, ra_j[0] if use_radii else None,
-        par_ok)
-
     @pl.when(first_ref[p] != 0)
     def _():
         fx_ref[0] = jnp.zeros((T, 1), f32)
@@ -193,17 +167,46 @@ def _sparse_kernel(cfg, T, nsp, use_coul, use_radii, want_bind,
             r[0] = jnp.full((T, 1), _BIG, f32) if k % 2 == 0 \
                 else jnp.full((T, 1), _IBIG, jnp.int32)
 
-    fx_ref[0] += jnp.sum(fsum * dx, axis=1, keepdims=True)
-    fy_ref[0] += jnp.sum(fsum * dy, axis=1, keepdims=True)
-    fz_ref[0] += jnp.sum(fsum * dz, axis=1, keepdims=True)
-    ev_ref[0] += ev
-    ec_ref[0] += ec
-    for k, (m, idm) in enumerate(cands):
-        r2_ref, id_ref = cand_refs[2 * k], cand_refs[2 * k + 1]
-        cur = r2_ref[0]
-        upd = m < cur
-        r2_ref[0] = jnp.where(upd, m, cur)
-        id_ref[0] = jnp.where(upd, idm, id_ref[0])
+    # padding entries (worklist slack up to pair_cap) skip the tile
+    # physics entirely — they only exist to keep the grid static
+    @pl.when(valid_ref[p] != 0)
+    def _():
+        dx = xi[0] - xj[0]
+        dy = yi[0] - yj[0]
+        dz = zi[0] - zj[0]
+        bx, by, bz = (f32(cfg.box[k]) for k in range(3))
+        dx = dx - bx * jnp.round(dx * f32(1.0 / cfg.box[0]))
+        dy = dy - by * jnp.round(dy * f32(1.0 / cfg.box[1]))
+        dz = dz - bz * jnp.round(dz * f32(1.0 / cfg.box[2]))
+        r2 = dx * dx + dy * dy + dz * dz
+
+        gi = gi_r[0]                            # (T, 1) global atom ids
+        gj = gj_r[0]                            # (1, T)
+        # real atoms have gi >= 0 (padding slots carry -1)
+        vm = jnp.where((gi >= 0) & (gj >= 0) & (gi != gj), 1.0, 0.0)
+        inr = jnp.where(r2 <= f32(cfg.r2_max), vm, 0.0)
+
+        par_ok = ((pi_r[0] != gj) & (pj_r[0] != gi)) if use_par \
+            else jnp.ones((T, T), bool)
+        fsum, ev, ec, cands = _tile_physics(
+            cfg, T, nsp, use_coul, use_radii, want_bind, want_jump,
+            params_ref, donacc_ref, r2, inr, gi, gj,
+            ti_r[0] if nsp > 1 else None, tj_r[0] if nsp > 1 else None,
+            ra_i[0] if use_radii else None,
+            ra_j[0] if use_radii else None,
+            par_ok)
+
+        fx_ref[0] += jnp.sum(fsum * dx, axis=1, keepdims=True)
+        fy_ref[0] += jnp.sum(fsum * dy, axis=1, keepdims=True)
+        fz_ref[0] += jnp.sum(fsum * dz, axis=1, keepdims=True)
+        ev_ref[0] += ev
+        ec_ref[0] += ec
+        for k, (m, idm) in enumerate(cands):
+            r2_ref, id_ref = cand_refs[2 * k], cand_refs[2 * k + 1]
+            cur = r2_ref[0]
+            upd = m < cur
+            r2_ref[0] = jnp.where(upd, m, cur)
+            id_ref[0] = jnp.where(upd, idm, id_ref[0])
 
 
 def estimate_sparse_pairs(box, r_max, pos, tile: int) -> int:
