@@ -344,16 +344,23 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
             cost = block_cost
             if n_pad * n_pad < cost:
                 pair_engine, cost = "pallas", n_pad * n_pad
+            p0 = None
             if pos is not None and n_at > 4096:
                 from ..ops.pallas_sparse import estimate_sparse_pairs
                 p0 = estimate_sparse_pairs(box, r_max, pos, sparse_tile)
                 if 2 * p0 * sparse_tile * sparse_tile < cost:
                     pair_engine = "sparse"
+        else:
+            p0 = None
         if pair_engine == "sparse":
-            from ..ops.pallas_sparse import estimate_sparse_pairs
             n_t = _round_up(n_at, sparse_tile) // sparse_tile
-            p0 = estimate_sparse_pairs(box, r_max, pos, sparse_tile) \
-                if pos is not None else n_t * n_t
+            if p0 is None:
+                if pos is not None:
+                    from ..ops.pallas_sparse import estimate_sparse_pairs
+                    p0 = estimate_sparse_pairs(box, r_max, pos,
+                                               sparse_tile)
+                else:
+                    p0 = n_t * n_t
             sparse_pair_cap = min(_round_up(p0 + p0 // 2 + 4 * n_t, 64),
                                   n_t * n_t)
     else:

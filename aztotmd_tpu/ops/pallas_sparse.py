@@ -389,6 +389,25 @@ def pair_forces_sparse(cfg, ff, pos, types, radii=None, parents=None,
     fx, fy, fz, ev, ec = res[:5]
     cand = res[5:]
 
+    # ---- mask tiles the (possibly truncated) worklist never visited:
+    # their output blocks were never written and read back whatever the
+    # allocator held (garbage/NaN on TPU).  Truncation then degrades to
+    # the block engine's failure mode — bounded finite errors until the
+    # max_occ monitor triggers a regrow — instead of a NaN cascade.
+    visited = jnp.zeros((n_t,), jnp.int32).at[it].max(vp)
+    vis_slot = jnp.repeat(visited, T)[:, None].astype(f32)  # (n_pad, 1)
+
+    def vis_mask(a, fill):
+        # jnp.where, not arithmetic masking: the garbage being masked
+        # can be NaN/inf and 0 * NaN = NaN
+        return jnp.where(vis_slot > 0, a.reshape(n_pad, 1), fill)
+
+    fx, fy, fz = (vis_mask(a, 0.0) for a in (fx, fy, fz))
+    ev = vis_mask(ev, 0.0)
+    ec = vis_mask(ec, 0.0)
+    cand = [vis_mask(a, _IBIG if a.dtype == jnp.int32 else f32(_BIG))
+            for a in cand]
+
     # ---- unsort back to atom order (perm is a bijection)
     frc_s = jnp.stack([fx.reshape(-1)[:N], fy.reshape(-1)[:N],
                        fz.reshape(-1)[:N]], axis=1).astype(dt)

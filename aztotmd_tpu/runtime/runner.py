@@ -973,8 +973,11 @@ class MDRunner:
                 self._build_programs()
         # sparse engine: cell_overflow carries the REQUIRED tile-pair
         # worklist length; truncation past sparse_pair_cap means this
-        # step's forces silently lost tile pairs — regrow and rebuild
-        if self.cfg.pair_engine == "sparse":
+        # step's forces silently lost tile pairs — regrow and rebuild.
+        # (f64 validation mode falls back to the block engine inside
+        # pair_forces_sparse, so max_occ is CELL occupancy there — fall
+        # through to the grid.cap comparison below instead)
+        if self.cfg.pair_engine == "sparse" and self.cfg.dtype != "f64":
             need = int(self.state.cell_overflow)
             if need > self.cfg.sparse_pair_cap:
                 from ..core.config import _round_up

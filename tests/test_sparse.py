@@ -170,6 +170,26 @@ def test_sparse_truncation_is_monitored():
     assert int(cut.max_occ) == need          # monitor sees the truth
     # and the truncated forces really differ (the monitor matters)
     assert not np.allclose(np.asarray(cut.frc), np.asarray(full.frc))
+    # truncation must degrade to the block engine's failure mode —
+    # bounded finite errors (unvisited tiles masked to zero), never
+    # uninitialized-buffer garbage/NaN
+    assert np.all(np.isfinite(np.asarray(cut.frc)))
+    assert np.isfinite(float(cut.eng_vdw))
+
+
+def test_sparse_f64_falls_back_to_block_engine():
+    """f64 validation mode must route to the XLA block engine (Mosaic
+    kernels compute f32); max_occ then carries CELL occupancy, which
+    the runner compares against grid.cap, not sparse_pair_cap."""
+    from aztotmd_tpu.ops.cellblock import pair_forces_block
+    cfg, ff, (pos, types, rad) = _multi_cluster_system(
+        n_atoms=400, n_clusters=3, box=60.0, nsp=1, elec=0)
+    p64 = jnp.asarray(pos, jnp.float64)
+    t = jnp.asarray(types)
+    pr = pair_forces_sparse(cfg, ff, p64, t)
+    orc = pair_forces_block(cfg, ff, p64, t)
+    np.testing.assert_array_equal(np.asarray(pr.frc), np.asarray(orc.frc))
+    assert int(pr.max_occ) == int(orc.max_occ)
 
 
 def test_sparse_reactive_candidates_match_gather_engine():
