@@ -403,20 +403,24 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         n_neigh = _round_up(max(4, mx + max(2, mx // 4)), 4)
         n_neigh = min(n_neigh, n_at)
 
-        # two-level list: the full candidate pass costs ~40 ms at 40k
+        # two-level list: the full candidate pass costs ~33 ms at 40k
         # atoms (the table gather runs at ~6.6 ns/element from HBM), so
         # amortize it over nb_outer inner intervals when the outer
         # capacity stays small (dilute systems).  skin2 = nb_outer x
         # skin keeps the same 6x thermal-speed staleness bound for
-        # inner refines made from an aging outer list.
+        # inner refines made from an aging outer list.  The q candidates
+        # and the K2 <= max(32, 6K) bound come from a real-TPU sweep on
+        # case study 1 (tools/bench_tune.py): Q=24/K2=24 measured 1699
+        # steps/s vs 1512 at the old Q=8 cap; Q=32/K2=40 and beyond
+        # regress (the every-R refine is proportional to K2).
         nb_outer = 1
         nb_skin2 = 0.0
         n_neigh2 = 0
-        for q in (8, 6, 4, 3, 2):
+        for q in (24, 16, 12, 8, 6, 4, 3, 2):
             skin2 = nb_skin * q
             mx2 = count_k(r_max + skin2)
             k2 = _round_up(max(8, mx2 + max(4, mx2 // 4)), 8)
-            if k2 <= max(64, 8 * n_neigh) and k2 < n_at:
+            if k2 <= max(32, 6 * n_neigh) and k2 < n_at:
                 nb_outer, nb_skin2, n_neigh2 = q, skin2, k2
                 break
         grid_reach = r_nb if nb_outer == 1 else r_max + nb_skin2

@@ -20,6 +20,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 
 def main():
@@ -64,12 +65,18 @@ def main():
                                       n_neigh2=k2, nb_grid=grid)
         cfg = dataclasses.replace(cfg, nb_rebuild=R)
         tag = f"Q={cfg.nb_outer} R={cfg.nb_rebuild} K2={cfg.n_neigh2}"
+        st = state0
+        if cfg.n_neigh2 != state0.nbr2_idx.shape[1]:
+            # resize the outer-list buffer to the combo's K2; the first
+            # chunk's full rebuild repopulates it
+            st = state0.replace(nbr2_idx=jnp.full(
+                (cfg.n_at, max(cfg.n_neigh2, 1)), cfg.n_at, jnp.int32))
         # no donation: state0 is reused across combos
         multi = jax.jit(make_multi_step(cfg, aux, jit=False),
                         static_argnums=2)
         try:
             t0 = time.time()
-            state = multi(state0, ff, chunk)
+            state = multi(st, ff, chunk)
             jax.block_until_ready(state.pos)
             warm = time.time() - t0
         except Exception as e:
