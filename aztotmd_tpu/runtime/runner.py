@@ -195,6 +195,7 @@ class MDRunner:
             p % self.p_stat == 0 for p in self._host_periods) \
             and not os.environ.get("AZTOTMD_NO_RING") \
             and self.mesh is None
+        self._ring_plan = {}
         if self.rcfg is not None and self.p_rdf:
             self.ring_ok = self.ring_ok and (self.p_stat % self.p_rdf == 0)
         if self.ring_ok:
@@ -359,7 +360,56 @@ class MDRunner:
                 ocfg_view = _dc.replace(cfg, n_neigh=cfg.n_neigh2,
                                         nb_skin=cfg.nb_skin2)
 
+            # The OPPOSITE regime (dilute decks tuned with a deep outer
+            # window, e.g. cs1 with nb_skin2 = nb_outer*nb_skin): the
+            # outer Verlet list's reach exceeds the RDF reach by enough
+            # skin that it serves rdf_sample_list DIRECTLY for k
+            # consecutive stat periods after one full rebuild — no
+            # per-period RDF candidate pass (34 ms at 40k atoms), and
+            # the ~59 ms outer rebuild amortizes over k periods.  The
+            # cadence is a STATIC nested scan (superblocks of k
+            # periods, rebuild at superblock start): a data-dependent
+            # lax.cond may execute BOTH branches on TPU (step.py:42).
+            # Soundness: per-step pair drift is bounded by
+            # nb_skin/nb_rebuild (the sizing rule that set nb_skin2 =
+            # nb_outer*nb_skin), so pairs within r_rdf at any sample in
+            # the superblock were within r_rdf + rho*k*p_stat <=
+            # r_max + nb_skin2 at build time, i.e. in the list
+            # (truncation is monitored via nbr2_over -> auto-grow).
+            rdf_from_outer = False
+            k_super = 1
+            if refine_blocks and use_list and not rdf_covers_outer:
+                rho = cfg.nb_skin / max(cfg.nb_rebuild, 1)
+                slack = (cfg.r_max + cfg.nb_skin2
+                         - math.sqrt(rcfg.r2_max))
+                k_rdf = int(slack / (rho * p_stat)) if slack > 0 else 0
+                k_force = (cfg.nb_outer * cfg.nb_rebuild) // p_stat
+                k_super = min(k_rdf, k_force)
+                rdf_from_outer = k_super >= 1
+            self._ring_plan = {
+                "refine_blocks": refine_blocks,
+                "rdf_covers_outer": rdf_covers_outer,
+                "rdf_from_outer": rdf_from_outer,
+                "k_super": k_super,
+            }
+
             def stat_block(s, h, nh, ff):
+                if rdf_from_outer:
+                    # nbr2_idx is fresh at superblock start (see ring)
+                    # and constant through the period
+                    nbr = s.nbr2_idx
+
+                    def body(c, _):
+                        s, h, nh = c
+                        s = base_refine(s, ff, p_rdf)
+                        h, nh = ops_rdf.rdf_sample_list(
+                            cfg, rcfg, s.pos, s.types, s.spec_number,
+                            self._spec_nuclei, self._nucl_number,
+                            nbr, h, nh)
+                        return (s, h, nh), None
+                    (s, h, nh), _ = jax.lax.scan(
+                        body, (s, h, nh), None, length=p_stat // p_rdf)
+                    return s, h, nh
                 if fuse_rdf:
                     if use_list:
                         # counts beyond k_cap are truncated (farthest-
@@ -424,6 +474,37 @@ class MDRunner:
                     s, h, nh = c
                     s, h, nh = stat_block(s, h, nh, ff)
                     return (s, h, nh), stat_row(s)
+                if rdf_from_outer:
+                    from .step import rebuild_neighbors_state as _rbs
+                    jnp = jax.numpy
+                    k = min(k_super, n_samples)
+                    n_sup, rem = divmod(n_samples, k)
+
+                    def sup(c, _):
+                        s, h, nh = c
+                        s = _rbs(cfg, s)
+                        (s, h, nh), rows = jax.lax.scan(
+                            body, (s, h, nh), None, length=k)
+                        return (s, h, nh), rows
+                    frs, irs = [], []
+                    if n_sup:
+                        (s, h, nh), (fr, ir) = jax.lax.scan(
+                            sup, (s, h, nh), None, length=n_sup)
+                        frs.append(fr.reshape((n_sup * k,)
+                                              + fr.shape[2:]))
+                        irs.append(ir.reshape((n_sup * k,)
+                                              + ir.shape[2:]))
+                    if rem:
+                        s = _rbs(cfg, s)
+                        (s, h, nh), (fr, ir) = jax.lax.scan(
+                            body, (s, h, nh), None, length=rem)
+                        frs.append(fr)
+                        irs.append(ir)
+                    frows = (jnp.concatenate(frs) if len(frs) > 1
+                             else frs[0])
+                    irows = (jnp.concatenate(irs) if len(irs) > 1
+                             else irs[0])
+                    return s, h, nh, frows, irows
                 (s, h, nh), (frows, irows) = jax.lax.scan(
                     body, (s, h, nh), None, length=n_samples)
                 return s, h, nh, frows, irows

@@ -162,6 +162,12 @@ def test_ring_list_rdf_matches_legacy(tmp_path):
     r = run_deck(deck, out_dir=out_a, n_steps=200, quiet=True)
     assert r.rcfg is not None and r.rcfg.k_cap > 0, \
         "deck must exercise the list path"
+    # the deep-outer-window deck must take the rdf-from-outer ring path
+    # (RDF sampled straight off the outer Verlet list, outer rebuild
+    # amortized over k_super stat periods) — byte-equality below is
+    # what proves it sound
+    assert r._ring_plan.get("rdf_from_outer"), r._ring_plan
+    assert r._ring_plan["k_super"] >= 1
     os.environ["AZTOTMD_NO_RING"] = "1"
     try:
         run_deck(deck, out_dir=out_b, n_steps=200, quiet=True)
