@@ -132,8 +132,13 @@ def _hist_counts(flat, n_slot: int, dtype):
     over past 8M elements.  On CPU the compare matrix is minutes —
     always sort there."""
     ids = flat.reshape(-1)
-    use_compare = (ids.size > (8 << 20)
-                   and jax.default_backend() != "cpu")
+    # compare wins in two regimes: huge E (sort crashes/costs ~65 ms at
+    # tens of millions inside a scan) and small E*n_slot (the compare
+    # matrix streams at ~1G element-compares/ms on the VPU, so e.g.
+    # 960k ids x 700 slots ~ 1 ms vs ~10 ms for the 960k-element sort)
+    use_compare = (jax.default_backend() != "cpu"
+                   and (ids.size > (8 << 20)
+                        or ids.size * n_slot <= (2 << 30)))
     if use_compare:
         # materialize the ids ONCE: without the barrier XLA fuses the
         # whole upstream id pipeline (N^2 distances, sqrt, bin index)
