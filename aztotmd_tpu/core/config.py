@@ -28,7 +28,14 @@ def _round_up(x: int, m: int) -> int:
 
 def _max_neigh_count(pos, box, reach: float, n_sample: int = 4096,
                      seed: int = 0) -> int:
-    """Max per-atom neighbor count within ``reach`` (host side).
+    """Max per-atom neighbor count within ``reach`` (host side)."""
+    return _neigh_stats(pos, box, reach, n_sample, seed)[0]
+
+
+def _neigh_stats(pos, box, reach: float, n_sample: int = 4096,
+                 seed: int = 0):
+    """(max per-atom neighbor count, fraction of atoms with >=1
+    neighbor) within ``reach`` (host side).
 
     Cell-binned: O(n_sample x local density) instead of the
     O(n_sample x N) all-pairs distance matrix this replaces (which cost
@@ -40,7 +47,7 @@ def _max_neigh_count(pos, box, reach: float, n_sample: int = 4096,
     p = np.asarray(pos, np.float64)
     n = len(p)
     if n == 0:
-        return 0
+        return 0, 0.0
     bx = np.asarray([float(b) for b in box])
     dims = np.maximum((bx // max(reach, 1e-9)).astype(np.int64), 1)
     cell = np.floor(p / bx * dims).astype(np.int64) % dims
@@ -55,6 +62,7 @@ def _max_neigh_count(pos, box, reach: float, n_sample: int = 4096,
     offs = [(a, b, c) for a in ax[0] for b in ax[1] for c in ax[2]]
     r2 = reach * reach
     mx = 0
+    n_occ = 0
     for i in idx:
         c = cell[i]
         cand = np.concatenate([
@@ -66,9 +74,10 @@ def _max_neigh_count(pos, box, reach: float, n_sample: int = 4096,
         d = p[cand] - p[i]
         d -= bx * np.round(d / bx)
         cnt = int(np.count_nonzero(np.sum(d * d, axis=1) <= r2)) - 1
+        n_occ += cnt > 0
         if cnt > mx:
             mx = cnt
-    return mx
+    return mx, n_occ / max(len(idx), 1)
 
 
 @dataclass(frozen=True)
@@ -245,6 +254,11 @@ class SimConfig:
     n_neigh2: int = 0
     nb_skin2: float = 0.0
     nb_outer: int = 1
+    # row-compacted walk: capacity for the rows that HAVE neighbors
+    # (0 disables).  In dilute decks almost every (N, K) row is
+    # all-sentinel; walking only occupied rows cut the cs1 pair pass
+    # ~4x (tools/bench_gather.py).  nbrow_over monitors overflow.
+    nb_rowcap: int = 0
     # Morton block-sparse engine (ops.pallas_sparse): tile size and the
     # static worklist capacity (interacting ordered tile pairs); the
     # runner regrows pair_cap when PairResult.max_occ exceeds it
@@ -378,6 +392,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
     nb_grid = None
     n_neigh = 4
     nb_rebuild = 40
+    nb_rowcap = 0
     if pair_engine == "neighbor":
 
         def count_k(reach):
@@ -427,6 +442,18 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         nb_grid = make_cell_grid(box, grid_reach, n_at,
                                  target_occupancy=target_occupancy,
                                  max_cells=max_cells, pos=pos)
+
+        # row-compacted walk: enabled when few rows have any neighbor
+        # (dilute decks).  The estimate is a 4096-atom sample, so give
+        # 2x headroom + slack; the nbrow_over monitor regrows on
+        # overflow.  Crossover is conservative (measured win at 1% row
+        # occupancy is ~4x; near 25% the dense walk's regular layout
+        # wins back).
+        if pos is not None:
+            _, frac_occ = _neigh_stats(pos, box, r_nb)
+            if frac_occ <= 0.15:
+                est = int(frac_occ * n_at)
+                nb_rowcap = min(_round_up(2 * est + 256, 128), n_at)
 
     # degrees of freedom and thermostat constants (sys_init.cpp:1099-1111)
     deg_free = 3 * n_at - n_bonds_init
@@ -506,6 +533,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         n_neigh2=n_neigh2 if pair_engine == "neighbor" else 0,
         nb_skin2=nb_skin2 if pair_engine == "neighbor" else 0.0,
         nb_outer=nb_outer if pair_engine == "neighbor" else 1,
+        nb_rowcap=nb_rowcap if pair_engine == "neighbor" else 0,
         mx_bond=mx_bond, mx_angle=mx_angle,
         n_free_el=n_free_el, max_neigh=ctl.max_neigh,
         dtype=dtype,

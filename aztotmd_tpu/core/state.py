@@ -112,6 +112,10 @@ class MDState:
     nbr2_idx: jax.Array     # (N, max(n_neigh2, 1)) int32 (sentinel N)
     nbr2_over: jax.Array    # int32 max outer neighbor count seen
     rdf_over: jax.Array     # int32 max RDF-list neighbor count seen
+    # row-compacted walk (cfg.nb_rowcap > 0): [atom id | neighbor ids]
+    # for the rows that HAVE neighbors (ops/neighbors.compact_rows)
+    nbrow_idx: jax.Array    # (max(nb_rowcap, 1), 1 + K) int32
+    nbrow_over: jax.Array   # int32 max occupied-row count seen
     #                         (ring mode builds an (N, k_cap) list per
     #                         stat period; counts beyond k_cap would be
     #                         silently truncated without this monitor)
@@ -236,6 +240,10 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
         nbr_over=i0(), nbr_viol=i0(),
         nbr2_idx=np.full((N, max(cfg.n_neigh2, 1)), N, np.int32),
         nbr2_over=i0(), rdf_over=i0(),
+        nbrow_idx=np.full(
+            (max(cfg.nb_rowcap, 1),
+             1 + (cfg.n_neigh if cfg.nb_rowcap else 1)), N, np.int32),
+        nbrow_over=i0(),
         touched=np.zeros((N,), bool),
         rng=rng0,
         step=i0(), cell_overflow=i0(),

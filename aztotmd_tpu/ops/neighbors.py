@@ -186,10 +186,65 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
                           want_jump: bool = False) -> PairResult:
     """Pair physics over the (N, K) neighbor list — same PairResult as
     the cell engines (bind/jump radii are <= r_max <= list reach)."""
+    return _walk(cfg, ff, pos, types, nbr_idx, rows=None, radii=radii,
+                 parents=parents, want_bind=want_bind,
+                 want_jump=want_jump)
+
+
+def pair_forces_rows(cfg, ff, pos, types, nbrow_idx, radii=None,
+                     parents=None, want_bind: bool = False,
+                     want_jump: bool = False) -> PairResult:
+    """Row-compacted neighbor walk: same physics as
+    pair_forces_neighbors but only over the rows that HAVE neighbors.
+
+    In dilute decks almost every (N, K) row is all-sentinel (case
+    study 1: 442 of 40000 rows have any entry), yet the dense walk
+    gathers and evaluates all N*K slots — measured 310 us/step of
+    marginal cost at cs1 scale vs 72 us for this compacted form
+    (tools/bench_gather.py).  The list has both pair directions, so
+    i-side accumulation over compacted rows is exact; per-row sums are
+    bitwise identical to the dense walk and the unique-sorted scatter
+    adds each row's force once.  Candidates (bind/jump) scatter back
+    the same way, so reactive decks are fully supported.
+    """
+    return _walk(cfg, ff, pos, types, nbrow_idx[:, 1:],
+                 rows=nbrow_idx[:, 0], radii=radii, parents=parents,
+                 want_bind=want_bind, want_jump=want_jump)
+
+
+def compact_rows(nbr_idx, r_cap: int, n_at: int):
+    """Compact the (N, K) list to the rows with >=1 real neighbor.
+
+    Returns (nbrow (r_cap, 1 + K) int32, n_rows): column 0 is the atom
+    id (sentinel N on padding rows), columns 1..K its neighbor list.
+    Row ids come out ascending (the scatter back into per-atom arrays
+    can promise sorted+unique indices).  n_rows is the TRUE number of
+    occupied rows — when it exceeds r_cap the highest-index rows were
+    dropped and the runner must regrow (nbrow_over monitor).
+    """
+    N = n_at
+    K = nbr_idx.shape[1]
+    has = jnp.any(nbr_idx != N, axis=1)
+    # dtype pinned: jnp.sum promotes int32 -> int64 under x64 mode,
+    # which breaks the scan-carry contract for the nbrow_over monitor
+    n_rows = jnp.sum(has, dtype=jnp.int32)
+    # smallest keys = occupied rows ascending, padded with sentinel N
+    key = jnp.where(has, jnp.arange(N, dtype=jnp.int32), N)
+    rows = (-jax.lax.top_k(-key, r_cap)[0]).astype(jnp.int32)
+    nbr_p = jnp.concatenate(
+        [nbr_idx, jnp.full((1, K), N, jnp.int32)], axis=0)
+    nbrow = jnp.concatenate([rows[:, None], nbr_p[rows]], axis=1)
+    return nbrow, n_rows
+
+
+def _walk(cfg, ff, pos, types, cand, rows=None, radii=None,
+          parents=None, want_bind: bool = False,
+          want_jump: bool = False) -> PairResult:
+    """Shared walk core: rows=None walks all N atoms (row r = atom r);
+    otherwise rows (R,) maps compacted rows to atom ids (sentinel N)."""
     N = cfg.n_at
     dt = pos.dtype
     nsp = cfg.n_spec
-    cand = nbr_idx
 
     types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)], axis=0)
 
@@ -197,7 +252,13 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
     # efficiently; per-component gathers measured 5x slower here (the
     # rebuild path, which has a huge candidate axis, uses SoA instead)
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
-    delta = min_image(pos[:, None, :] - pos_p[cand], cfg)
+    if rows is None:
+        pos_i = pos
+        row_types = types
+    else:
+        pos_i = pos_p[rows]
+        row_types = types_p[rows]
+    delta = min_image(pos_i[:, None, :] - pos_p[cand], cfg)
     r2 = jnp.sum(delta * delta, axis=-1)
     valid = cand != N
     mask = valid & (r2 <= cfg.r2_max)
@@ -205,7 +266,7 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
     r = jnp.sqrt(r2s)
 
     tj = types_p[cand]
-    ti = types[:, None]
+    ti = row_types[:, None]
 
     if cfg.elec_type != ELEC_NONE:
         tp = ti * nsp + tj
@@ -229,7 +290,8 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
         vmask = mask & (r2 <= r2cut)
         if cfg.use_radii and radii is not None:
             rad_p = jnp.concatenate([radii, jnp.ones((1,), dt)], axis=0)
-            rad_i = jnp.broadcast_to(radii[:, None], r2s.shape)
+            rad_row = radii if rows is None else rad_p[rows]
+            rad_i = jnp.broadcast_to(rad_row[:, None], r2s.shape)
             rad_j = rad_p[cand]
         else:
             rad_i = rad_j = None
@@ -242,34 +304,56 @@ def pair_forces_neighbors(cfg, ff, pos, types, nbr_idx, radii=None,
         fv = ev = jnp.zeros_like(r2s)
 
     f = jnp.clip(fc + fv, -MX_FRC, MX_FRC)
-    frc = jnp.sum(f[:, :, None] * delta, axis=1)
+    frow = jnp.sum(f[:, :, None] * delta, axis=1)
     eng_vdw = 0.5 * jnp.sum(ev)
     eng_coul = 0.5 * jnp.sum(ec)
 
     big = jnp.asarray(jnp.inf, dt)
+    R = cand.shape[0]
     if want_bind:
         tpair = ti * nsp + tj
         can = (ff.bonding_matr.reshape(-1)[tpair] != 0) & valid \
             & (r2 <= ff.bind_r2.reshape(-1)[tpair])
         if parents is not None:
-            own = jnp.arange(N, dtype=jnp.int32)[:, None]
+            own = (jnp.arange(N, dtype=jnp.int32)[:, None]
+                   if rows is None else rows[:, None])
             par_p = jnp.concatenate([parents, -jnp.ones((1,), jnp.int32)])
-            can = can & (parents[:, None] != cand) & (par_p[cand] != own)
+            par_row = parents if rows is None else par_p[rows]
+            can = can & (par_row[:, None] != cand) & (par_p[cand] != own)
         bind_idx, bind_r2 = _row_argmin(cand, r2, can, N)
     else:
-        bind_idx = jnp.full((N,), N, jnp.int32)
-        bind_r2 = jnp.full((N,), big, dt)
+        bind_idx = jnp.full((R,), N, jnp.int32)
+        bind_r2 = jnp.full((R,), big, dt)
 
     if want_jump:
         # per-role argmins (nearest acceptor for a donor row, nearest
         # donor for a pure-acceptor row) — see pairs._jump_candidates
         from .pairs import _jump_candidates
-        jump_idx, jump_r2 = _jump_candidates(cfg, ff, types, tj, cand,
-                                             r2, valid)
+        jump_idx, jump_r2 = _jump_candidates(cfg, ff, row_types, tj,
+                                             cand, r2, valid, sentinel=N)
         jump_r2 = jump_r2.astype(dt)
     else:
-        jump_idx = jnp.full((N,), N, jnp.int32)
-        jump_r2 = jnp.full((N,), big, dt)
+        jump_idx = jnp.full((R,), N, jnp.int32)
+        jump_r2 = jnp.full((R,), big, dt)
+
+    if rows is not None:
+        # scatter compacted rows back to per-atom arrays.  Row ids are
+        # ascending-unique by construction (compact_rows); the padding
+        # rows all target the dump slot N with masked-zero/default
+        # values, so the uniqueness promise only "lies" about entries
+        # whose results are sliced off below.
+        kw = dict(unique_indices=True, indices_are_sorted=True)
+        frc = jnp.zeros((N + 1, 3), dt).at[rows].add(frow, **kw)[:N]
+        bind_idx = jnp.full((N + 1,), N, jnp.int32).at[rows] \
+            .set(bind_idx, **kw)[:N]
+        bind_r2 = jnp.full((N + 1,), big, dt).at[rows] \
+            .set(bind_r2, **kw)[:N]
+        jump_idx = jnp.full((N + 1,), N, jnp.int32).at[rows] \
+            .set(jump_idx, **kw)[:N]
+        jump_r2 = jnp.full((N + 1,), big, dt).at[rows] \
+            .set(jump_r2, **kw)[:N]
+    else:
+        frc = frow
 
     return PairResult(frc=frc, eng_vdw=eng_vdw, eng_coul=eng_coul,
                       max_occ=jnp.zeros((), jnp.int32),

@@ -688,7 +688,8 @@ class MDRunner:
             if not self.quiet:
                 self._console(step, eng, float(f[fsl["x1"]][0]), press,
                               n_bond)
-        self._check_overflow(int(over[0]), int(over[1]), int(over[2]))
+        self._check_overflow(int(over[0]), int(over[1]), int(over[2]),
+                             nbrow_over=int(over[3]))
 
     def _advance(self, n: int):
         if self.rcfg is not None and self.rdf_in_chunk:
@@ -992,7 +993,7 @@ class MDRunner:
             self._slab_mig_seen = (0, 0)
 
     def _check_overflow(self, occ=None, nbr_over=None, nbr_viol=None,
-                        rdf_over=None):
+                        rdf_over=None, nbrow_over=None):
         if self.mesh is not None:
             return self._check_slab_health()
         """Monitored rebucket path: the reference corrupts memory on cell
@@ -1018,10 +1019,36 @@ class MDRunner:
                 self.cfg = dataclasses.replace(self.cfg, n_neigh=new_k)
                 N = self.cfg.n_at
                 pad = np.full((N, new_k), N, np.int32)
+                extra = {}
+                if self.cfg.nb_rowcap:
+                    # nbrow rows carry [atom id | K neighbor ids]
+                    extra["nbrow_idx"] = jax.numpy.asarray(
+                        np.full((self.cfg.nb_rowcap, 1 + new_k), N,
+                                np.int32))
                 self.state = self.state.replace(
                     nbr_idx=jax.numpy.asarray(pad),
-                    nbr_ref=self.state.nbr_ref + 1e9)   # force rebuild
+                    nbr_ref=self.state.nbr_ref + 1e9,   # force rebuild
+                    **extra)
                 self._build_programs()
+            if self.cfg.nb_rowcap:
+                rover = int(self.state.nbrow_over) if nbrow_over is None \
+                    else nbrow_over
+                if rover > self.cfg.nb_rowcap:
+                    from ..core.config import _round_up
+                    new_cap = min(_round_up(rover + max(128, rover // 4),
+                                            128), self.cfg.n_at)
+                    print(f"WARNING: occupied-row count {rover} exceeded "
+                          f"row capacity {self.cfg.nb_rowcap}; rebuilding "
+                          f"with rowcap={new_cap}", file=sys.stderr)
+                    self.cfg = dataclasses.replace(self.cfg,
+                                                   nb_rowcap=new_cap)
+                    N = self.cfg.n_at
+                    padr = np.full((new_cap, 1 + self.cfg.n_neigh), N,
+                                   np.int32)
+                    self.state = self.state.replace(
+                        nbrow_idx=jax.numpy.asarray(padr),
+                        nbr_ref=self.state.nbr_ref + 1e9)
+                    self._build_programs()
             if self.cfg.nb_outer > 1:
                 over2 = int(self.state.nbr2_over)
                 if over2 > self.cfg.n_neigh2:

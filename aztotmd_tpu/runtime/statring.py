@@ -33,7 +33,7 @@ def make_layout(n_spec: int, n_bt: int):
     isl, off = {}, 0
     for name, w in [("step", 1), ("spec", n_spec), ("cpos", 3 * n_spec),
                     ("cneg", 3 * n_spec), ("nbond", 1), ("njump", 1),
-                    ("jpos", 1), ("jneg", 1), ("over", 3), ("btc", n_bt)]:
+                    ("jpos", 1), ("jneg", 1), ("over", 4), ("btc", n_bt)]:
         isl[name] = slice(off, off + w)
         off += w
     return fsl, nf, isl, off
@@ -85,7 +85,7 @@ def make_stat_row(cfg, spec_counts0):
             state.n_bond[None], state.n_jump[None],
             state.jump_pos[None], state.jump_neg[None],
             jnp.stack([state.cell_overflow, state.nbr_over,
-                       state.nbr_viol]),
+                       state.nbr_viol, state.nbrow_over]),
             state.bt_count,
         ]).astype(jnp.int32)
         return frow, irow

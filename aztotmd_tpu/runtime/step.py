@@ -66,12 +66,25 @@ def rebuild_neighbors_state(cfg, state):
             nbr_idx=idx, nbr_ref=state.pos, nbr2_idx=idx2,
             nbr_over=jnp.maximum(state.nbr_over, nmax),
             nbr2_over=jnp.maximum(state.nbr2_over, nmax2),
-            cell_overflow=jnp.maximum(state.cell_overflow, occ))
+            cell_overflow=jnp.maximum(state.cell_overflow, occ),
+            **_rowcomp_updates(cfg, state, idx))
     idx, nmax, occ = ops_nbr.build_neighbors(cfg, state.pos)
     return state.replace(
+        **_rowcomp_updates(cfg, state, idx),
         nbr_idx=idx, nbr_ref=state.pos,
         nbr_over=jnp.maximum(state.nbr_over, nmax),
         cell_overflow=jnp.maximum(state.cell_overflow, occ))
+
+
+def _rowcomp_updates(cfg, state, idx):
+    """State updates for the row-compacted walk (cfg.nb_rowcap > 0):
+    recompact whenever the inner list changes."""
+    if not cfg.nb_rowcap:
+        return {}
+    from ..ops import neighbors as ops_nbr
+    nbrow, n_rows = ops_nbr.compact_rows(idx, cfg.nb_rowcap, cfg.n_at)
+    return dict(nbrow_idx=nbrow,
+                nbrow_over=jnp.maximum(state.nbrow_over, n_rows))
 
 
 def refine_neighbors_state(cfg, state):
@@ -80,7 +93,8 @@ def refine_neighbors_state(cfg, state):
     idx, nmax = ops_nbr.refine_neighbors(cfg, state.pos, state.nbr2_idx)
     return state.replace(
         nbr_idx=idx, nbr_ref=state.pos,
-        nbr_over=jnp.maximum(state.nbr_over, nmax))
+        nbr_over=jnp.maximum(state.nbr_over, nmax),
+        **_rowcomp_updates(cfg, state, idx))
 
 
 def make_step(cfg, aux: StepAux | None = None,
@@ -157,11 +171,22 @@ def make_step(cfg, aux: StepAux | None = None,
                 nbr_idx = state.nbr_idx
                 state = state.replace(
                     nbr_viol=state.nbr_viol + stale.astype(jnp.int32))
-            pr = ops_nbr.pair_forces_neighbors(
-                cfg, ff, state.pos, state.types, nbr_idx,
-                radii=state.radii if cfg.use_radii else None,
-                parents=state.parents,
-                want_bind=want_bind, want_jump=want_jump)
+            if cfg.nb_rowcap and not nbr_auto_rebuild:
+                # row-compacted walk: nbrow_idx is recompacted by the
+                # scan-boundary rebuild/refine (same cadence as
+                # nbr_idx); the auto-rebuild path keeps the dense walk
+                # (compaction inside the lax.cond would run per step)
+                pr = ops_nbr.pair_forces_rows(
+                    cfg, ff, state.pos, state.types, state.nbrow_idx,
+                    radii=state.radii if cfg.use_radii else None,
+                    parents=state.parents,
+                    want_bind=want_bind, want_jump=want_jump)
+            else:
+                pr = ops_nbr.pair_forces_neighbors(
+                    cfg, ff, state.pos, state.types, nbr_idx,
+                    radii=state.radii if cfg.use_radii else None,
+                    parents=state.parents,
+                    want_bind=want_bind, want_jump=want_jump)
         else:
             if cfg.pair_engine == "pallas":
                 from ..ops.pallas_pair import pair_forces_pallas

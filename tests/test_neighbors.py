@@ -95,3 +95,94 @@ def test_prefix_refine_matches_refine_neighbors():
     b = np.sort(np.asarray(b_idx), axis=1)
     assert np.array_equal(a, b)
     assert int(a_max) == int(b_max)
+
+
+# ---------------------------------------------------------------------------
+# row-compacted walk (cfg.nb_rowcap): ops/neighbors.compact_rows +
+# pair_forces_rows must reproduce the dense (N, K) walk exactly — in
+# dilute decks almost every row is all-sentinel and the compacted walk
+# is the cs1 fast path (~4x cheaper pair pass, tools/bench_gather.py)
+
+def _dilute_system(seed=3, n_close=40):
+    """Very dilute gas + a few deliberately close pairs so the pair
+    physics is non-trivial (eng_vdw != 0)."""
+    rng = np.random.default_rng(seed)
+    box = 160.0
+    pos = rng.uniform(0, box, size=(400, 3))
+    # partner atoms 3.4-3.9 A from the first n_close (inside the LJ
+    # cutoff)
+    d = rng.normal(size=(n_close, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    part = (pos[:n_close] + d * rng.uniform(3.4, 3.9, (n_close, 1))) % box
+    pos = np.concatenate([pos, part])
+    cfg = make_cfg(len(pos), box, lj_field(rcut=4.0), lj_control(box),
+                   dtype="f32", pos=pos, pair_engine="neighbor")
+    return cfg, pos.astype(np.float32)
+
+
+def test_compact_rows_contract():
+    import jax.numpy as jnp
+    cfg, pos = _dilute_system()
+    N = cfg.n_at
+    idx, nmax, _ = nbr.build_neighbors(cfg, pos)
+    idx = np.asarray(idx)
+    occupied = np.flatnonzero((idx != N).any(axis=1))
+    r_cap = 128
+    assert len(occupied) <= r_cap
+    nbrow, n_rows = nbr.compact_rows(jnp.asarray(idx), r_cap, N)
+    nbrow = np.asarray(nbrow)
+    assert int(n_rows) == len(occupied)
+    # rows ascending, padded with sentinel
+    assert np.array_equal(nbrow[:len(occupied), 0], occupied)
+    assert (nbrow[len(occupied):, 0] == N).all()
+    # row bodies are the original lists
+    assert np.array_equal(nbrow[:len(occupied), 1:], idx[occupied])
+    assert (nbrow[len(occupied):, 1:] == N).all()
+    # overflow: smaller cap keeps the lowest rows, true count reported
+    small = max(len(occupied) // 2, 1)
+    nbrow2, n_rows2 = nbr.compact_rows(jnp.asarray(idx), small, N)
+    assert int(n_rows2) == len(occupied)
+    assert np.array_equal(np.asarray(nbrow2)[:, 0], occupied[:small])
+
+
+def test_pair_forces_rows_matches_dense_walk():
+    import jax.numpy as jnp
+    from aztotmd_tpu.core.ffield import build_forcefield
+    cfg, pos = _dilute_system()
+    fld = lj_field(rcut=4.0)
+    ctl = lj_control(160.0)
+    ff = build_forcefield(fld, ctl.t_step, dtype=np.float32)
+    N = cfg.n_at
+    types = jnp.zeros((N,), jnp.int32)
+    idx, _, _ = nbr.build_neighbors(cfg, jnp.asarray(pos))
+    nbrow, n_rows = nbr.compact_rows(idx, 256, N)
+    pr_d = nbr.pair_forces_neighbors(cfg, ff, jnp.asarray(pos), types, idx)
+    pr_r = nbr.pair_forces_rows(cfg, ff, jnp.asarray(pos), types, nbrow)
+    assert float(pr_d.eng_vdw) != 0.0
+    assert np.array_equal(np.asarray(pr_d.frc), np.asarray(pr_r.frc))
+    assert float(pr_r.eng_vdw) == pytest.approx(float(pr_d.eng_vdw),
+                                                rel=1e-6)
+
+
+def test_multi_step_rowcap_trajectory_exact():
+    from aztotmd_tpu.io.atoms import AtomsData
+    from aztotmd_tpu.runtime.setup import build_system
+    from aztotmd_tpu.runtime.step import make_multi_step
+    _, pos = _dilute_system(seed=11, n_close=10)
+    box = 160.0
+    ctl = lj_control(box, temp=30.0)
+    ctl.init_vel = 1
+    ctl.tstat.temp = 30.0
+    atoms = AtomsData(names=["Ar"] * len(pos), pos=pos % box,
+                      box=(box, box, box))
+    cfg, ff, state, aux = build_system(ctl, lj_field(rcut=4.0), atoms,
+                                       dtype="f32",
+                                       pair_engine="neighbor")
+    assert cfg.nb_rowcap > 0, "auto-sizing should enable rowcomp here"
+    s1 = make_multi_step(cfg, aux, donate=False)(state, ff, 60)
+    cfg0 = dataclasses.replace(cfg, nb_rowcap=0)
+    s0 = make_multi_step(cfg0, aux, donate=False)(state, ff, 60)
+    assert np.array_equal(np.asarray(s1.pos), np.asarray(s0.pos))
+    assert np.array_equal(np.asarray(s1.vel), np.asarray(s0.vel))
+    # the monitor reports the true occupied-row count
+    assert int(s1.nbrow_over) > 0
