@@ -946,24 +946,15 @@ def make_slab_multi_step(cfg, aux, mesh: Mesh):
     return jax.jit(multi, static_argnums=2)
 
 
-def make_slab_rdf_chunk(cfg, rcfg, aux, mesh: Mesh, spec_nuclei,
-                        nucl_number, p_rdf: int):
-    """Fused slab chunk: scan ``p_rdf``-step blocks and accumulate the
-    RDF histogram ON DEVICE at each block boundary — the mesh analog of
-    the runner's single-chip rdf_in_chunk program, so `run --mesh N`
-    stops paying a host-side gather of every per-atom array per RDF
-    sample.
-
-    Each device histograms its OWNED rows against the psum-assembled
-    global position table (ops.rdf.rdf_counts_rows) and one psum merges
-    the integer counts — bit-identical to the single-chip histogram.
-    """
+def _make_local_rdf_sample(cfg, rcfg, spec_nuclei, nucl_number):
+    """Per-device RDF sample over the slab slots (runs inside a
+    shard_map on the slab axis): each device histograms its OWNED rows
+    against the psum-assembled global position table
+    (ops.rdf.rdf_counts_rows) and one psum merges the integer counts —
+    bit-identical to the single-chip histogram."""
     from ..ops import rdf as ops_rdf
-    from .slab_react import assemble_global, reactive_mode
+    from .slab_react import assemble_global
 
-    n_dev = mesh.devices.size
-    check_slab_cfg(cfg, n_dev)
-    step1 = make_slab_step(cfg, aux, mesh)
     N = cfg.n_at
     nsp = cfg.n_spec
     snuc = np.asarray(spec_nuclei, np.int32)
@@ -989,6 +980,25 @@ def make_slab_rdf_chunk(cfg, rcfg, aux, mesh: Mesh, spec_nuclei,
         return ops_rdf._apply_weights(cfg, rcfg, counts, spec_number,
                                       jnp.asarray(snuc),
                                       jnp.asarray(nnum), h, nh)
+
+    return local_sample
+
+
+def make_slab_rdf_chunk(cfg, rcfg, aux, mesh: Mesh, spec_nuclei,
+                        nucl_number, p_rdf: int):
+    """Fused slab chunk: scan ``p_rdf``-step blocks and accumulate the
+    RDF histogram ON DEVICE at each block boundary — the mesh analog of
+    the runner's single-chip rdf_in_chunk program, so `run --mesh N`
+    stops paying a host-side gather of every per-atom array per RDF
+    sample.
+    """
+    from .slab_react import reactive_mode
+
+    n_dev = mesh.devices.size
+    check_slab_cfg(cfg, n_dev)
+    step1 = make_slab_step(cfg, aux, mesh)
+    local_sample = _make_local_rdf_sample(cfg, rcfg, spec_nuclei,
+                                          nucl_number)
 
     specs = state_specs(mesh, reactive=reactive_mode(cfg))
     nh_spec = P() if rcfg.nuclei else None
@@ -1019,3 +1029,156 @@ def make_slab_rdf_chunk(cfg, rcfg, aux, mesh: Mesh, spec_nuclei,
         return st, h, nh
 
     return jax.jit(chunk, static_argnums=4)
+
+
+# ----------------------------------------------------------------------
+def _make_local_stat_row(cfg, spec_counts0, pos0):
+    """Per-device stat-row builder over the slab slots (runs inside a
+    shard_map on the slab axis).  Emits the SAME (frow, irow) layout as
+    runtime.statring.make_stat_row so the runner's flush decoder works
+    unchanged; the per-atom reductions (displacement MSD, x1, live
+    species counts, constant-topology bond count) psum over the mesh.
+    The irow "over" slots carry the slab health monitors
+    [slab_occ, mig_lost, mig_defer, bond_miss] instead of the
+    single-chip neighbor monitors (the runner decodes per mode)."""
+    from ..runtime.statring import ENG_KEYS
+
+    N = cfg.n_at
+    nsp = cfg.n_spec
+    counts = jnp.asarray(np.maximum(np.asarray(spec_counts0), 1),
+                         jnp.float32)
+    sp_ids = jnp.asarray(np.arange(nsp, dtype=np.int32))
+    pos0_h = np.asarray(pos0)
+    reactive = cfg.use_bnd == 2 or cfg.use_angl == 2 or cfg.ejtype != 0
+    nbt = max(cfg.n_bond_types, 1)
+
+    def stat_row(st: SlabState):
+        E = st.energies
+        dt = st.pos.dtype
+        valid = st.gid >= 0
+        gsafe = jnp.clip(st.gid, 0, N - 1)
+        # per-species mean |r(t)-r(0)|^2, minimum image, from the
+        # replicated constant pos0 table keyed by gid
+        p0 = jnp.asarray(pos0_h.astype(np.dtype(dt.name)))[gsafe]
+        d = st.pos - p0
+        box = jnp.asarray(cfg.box, dt)
+        d = d - box * jnp.round(d / box)
+        r2 = jnp.where(valid, jnp.sum(d * d, axis=1), 0)
+        oh = (valid[:, None]
+              & (st.types[:, None] == sp_ids[None, :])).astype(dt)
+        msd = jax.lax.psum((r2[None, :] @ oh)[0], AXIS) \
+            .astype(jnp.float32) / counts
+        # x1 = x of global atom 0 (owned by exactly one slot mesh-wide)
+        x1 = jax.lax.psum(
+            jnp.sum(jnp.where(st.gid == 0, st.pos[:, 0], 0)), AXIS)
+
+        rg = st.rg
+        if reactive:
+            spec_number = rg.spec_number
+            n_bond = rg.n_bond
+            bt_count, bt_r, bt_lt = rg.bt_count, rg.bt_r_mean, rg.bt_lt_mean
+            n_jump, j_pos, j_neg = rg.n_jump, rg.jump_pos, rg.jump_neg
+        else:
+            spec_number = jax.lax.psum(
+                jnp.sum(oh, axis=0, dtype=jnp.float32), AXIS) \
+                .astype(jnp.int32)
+            if cfg.use_bnd:
+                # each side of a bond holds a record: count/2
+                n_bond = (jax.lax.psum(jnp.sum(jnp.where(
+                    valid[:, None], (st.bnd_type != 0).astype(jnp.int32),
+                    0)), AXIS) + 1) // 2
+            else:
+                n_bond = jnp.zeros((), jnp.int32)
+            bt_count = jnp.zeros((nbt,), jnp.int32)
+            bt_r = jnp.zeros((nbt,), jnp.float32)
+            bt_lt = jnp.zeros((nbt,), jnp.float32)
+            n_jump = j_pos = j_neg = jnp.zeros((), jnp.int32)
+
+        frow = jnp.concatenate([
+            jnp.stack([getattr(E, k).astype(jnp.float32)
+                       for k in ENG_KEYS]),
+            st.pos_mom.astype(jnp.float32),
+            st.neg_mom.astype(jnp.float32),
+            st.pressure.astype(jnp.float32)[None],
+            x1.astype(jnp.float32)[None],
+            msd,
+            bt_r.astype(jnp.float32),
+            bt_lt.astype(jnp.float32),
+        ])
+        irow = jnp.concatenate([
+            st.step[None],
+            spec_number,
+            st.cross_pos.reshape(-1),
+            st.cross_neg.reshape(-1),
+            n_bond[None], n_jump[None], j_pos[None], j_neg[None],
+            jnp.stack([st.slab_occ, st.mig_lost, st.mig_defer,
+                       st.bond_miss]),
+            bt_count,
+        ]).astype(jnp.int32)
+        return frow, irow
+
+    return stat_row
+
+
+def make_slab_ring(cfg, aux, mesh: Mesh, rcfg, spec_nuclei, nucl_number,
+                   p_stat: int, p_rdf: int, spec_counts0, pos0):
+    """Mesh-mode on-device stat ring: scan ``n_samples`` stat periods
+    per dispatch, emitting one (frow, irow) sample row per period and
+    accumulating the RDF histogram at every ``p_rdf`` sub-block — the
+    slab analog of the runner's single-chip ring
+    (runtime/statring.py; reference: cuStat.cu:17-71 write_stat +
+    :387-404 stat_iter buffered flush).  One host dispatch then covers
+    dozens of stat periods, which on real multi-chip hardware is the
+    difference between tunnel-round-trip-bound and device-bound
+    end-to-end throughput (the round-2 single-chip lesson: 135 -> 1030
+    steps/s).
+
+    Returns ring(st, h, nh, ff, n_samples) ->
+    (st, h, nh, frows, irows); n_samples is static.
+    """
+    from .slab_react import reactive_mode
+
+    n_dev = mesh.devices.size
+    check_slab_cfg(cfg, n_dev)
+    step1 = make_slab_step(cfg, aux, mesh)
+    specs = state_specs(mesh, reactive=reactive_mode(cfg))
+    fuse_rdf = rcfg is not None and p_rdf > 0
+    if fuse_rdf and p_stat % p_rdf:
+        raise ValueError("mesh ring needs p_rdf | p_stat")
+
+    stat_row = shard_map(
+        _make_local_stat_row(cfg, spec_counts0, pos0), mesh=mesh,
+        in_specs=(specs,), out_specs=(P(), P()), check_vma=False)
+    if fuse_rdf:
+        nh_spec = P() if rcfg.nuclei else None
+        sample = shard_map(
+            _make_local_rdf_sample(cfg, rcfg, spec_nuclei, nucl_number),
+            mesh=mesh, in_specs=(specs, P(), nh_spec),
+            out_specs=(P(), nh_spec), check_vma=False)
+
+    def steps(st, ff, r):
+        def ibody(s, _):
+            return step1(s, ff), None
+        st, _ = jax.lax.scan(ibody, st, None, length=r)
+        return st
+
+    def ring(st, h, nh, ff, n_samples: int):
+        def body(carry, _):
+            st, h, nh = carry
+            if fuse_rdf:
+                def sub(c, _):
+                    st, h, nh = c
+                    st = steps(st, ff, p_rdf)
+                    h, nh = sample(st, h, nh)
+                    return (st, h, nh), None
+                (st, h, nh), _ = jax.lax.scan(
+                    sub, (st, h, nh), None, length=p_stat // p_rdf)
+            else:
+                st = steps(st, ff, p_stat)
+            return (st, h, nh), stat_row(st)
+
+        (st, h, nh), (frows, irows) = jax.lax.scan(
+            body, (st, h, nh), None, length=n_samples)
+        return st, h, nh, frows, irows
+
+    return jax.jit(ring, static_argnums=4, donate_argnums=(0, 1, 2))

@@ -193,8 +193,7 @@ class MDRunner:
                                self.p_rdf_out) if p]
         self.ring_ok = self.p_stat > 0 and all(
             p % self.p_stat == 0 for p in self._host_periods) \
-            and not os.environ.get("AZTOTMD_NO_RING") \
-            and self.mesh is None
+            and not os.environ.get("AZTOTMD_NO_RING")
         self._ring_plan = {}
         if self.rcfg is not None and self.p_rdf:
             self.ring_ok = self.ring_ok and (self.p_stat % self.p_rdf == 0)
@@ -217,6 +216,12 @@ class MDRunner:
                 self.hist = jnp.asarray(np.zeros((1,), np.float32))
                 self.nhist = jnp.asarray(np.zeros((1,), np.float32))
 
+        if self.mesh is not None and self.ring_ok:
+            # the mesh ring's MSD term reads a replicated gid-keyed pos0
+            # table; keep the host copy so capacity rebuilds can
+            # re-derive the ring program without a device pull
+            self._pos0_h = np.asarray(self.state.pos0)
+        self.n_dispatch = 0      # step-advancing host dispatches (tests)
         self._build_programs()
 
         if self._atoms_mesh is not None:
@@ -269,6 +274,19 @@ class MDRunner:
                     cfg, rcfg, self.aux, self.mesh,
                     np.asarray(self._spec_nuclei),
                     np.asarray(self._nucl_number), self.p_rdf)
+            if self.ring_ok:
+                # mesh-mode on-device stat ring: same buffered-flush
+                # cadence as single-chip (one dispatch per s_cap stat
+                # periods) — without it every chunk pays a host round
+                # trip + per-period scalar pulls (cuStat.cu:17-71)
+                self._ring_fn = _slab.make_slab_ring(
+                    cfg, self.aux, self.mesh, rcfg,
+                    (np.asarray(self._spec_nuclei)
+                     if rcfg is not None else None),
+                    (np.asarray(self._nucl_number)
+                     if rcfg is not None else None),
+                    self.p_stat, self.p_rdf if rcfg is not None else 0,
+                    self._spec_counts0, self._pos0_h)
             return
         self.multi = make_multi_step(cfg, self.aux, donate=True)
 
@@ -588,6 +606,7 @@ class MDRunner:
                 nxt = self._next_host_event(done, total)
                 while (nxt - done) >= p:
                     n_samp = n_fix
+                    self.n_dispatch += 1
                     if self.profile:
                         # assign INSIDE the stage so the barrier lands on
                         # the NEW state (the old one was donated; blocking
@@ -662,9 +681,21 @@ class MDRunner:
     def _flush_rows_impl(self, frows, irows):
         fr = np.asarray(frows)      # blocks until the dispatch finishes
         ir = np.asarray(irows)
+        over = np.max(ir[:, self._isl["over"]], axis=0)
+        if self.mesh is not None:
+            # slab rows repurpose the over slots for the slab health
+            # monitors (parallel/slab._make_local_stat_row)
+            self._decode_rows(fr, ir)
+            return self._check_slab_health(
+                occ=int(over[0]), lost=int(over[1]), defer=int(over[2]),
+                miss=int(over[3]))
+        self._decode_rows(fr, ir)
+        self._check_overflow(int(over[0]), int(over[1]), int(over[2]),
+                             nbrow_over=int(over[3]))
+
+    def _decode_rows(self, fr, ir):
         fsl, isl = self._fsl, self._isl
         nsp = self.cfg.n_spec
-        over = np.max(ir[:, isl["over"]], axis=0)
         for k in range(fr.shape[0]):
             f, i = fr[k], ir[k]
             step = int(i[isl["step"]][0])
@@ -688,10 +719,9 @@ class MDRunner:
             if not self.quiet:
                 self._console(step, eng, float(f[fsl["x1"]][0]), press,
                               n_bond)
-        self._check_overflow(int(over[0]), int(over[1]), int(over[2]),
-                             nbrow_over=int(over[3]))
 
     def _advance(self, n: int):
+        self.n_dispatch += 1
         if self.rcfg is not None and self.rdf_in_chunk:
             self.state, self.hist, self.nhist = self._chunk_rdf_fn(
                 self.state, self.hist, self.nhist, self.ff, n)
@@ -937,16 +967,22 @@ class MDRunner:
             i_mom=st.i_mom, cross_pos=st.cross_pos,
             cross_neg=st.cross_neg)
 
-    def _check_slab_health(self):
+    def _check_slab_health(self, occ=None, lost=None, defer=None,
+                           miss=None):
         """Slab-mode monitors (the mesh analog of _check_overflow):
         grow grid.cap when a cell overflows (rank >= cap atoms get no
         pair force), grow the slot/migration capacity and redistribute
-        when migration ever deletes or defers atoms."""
+        when migration ever deletes or defers atoms.  Values arrive
+        pre-fetched from the ring rows in ring mode; device pulls
+        otherwise."""
         import dataclasses
         st = self.state
-        occ = int(st.slab_occ)
-        lost = int(st.mig_lost)
-        defer = int(st.mig_defer)
+        if occ is None:
+            occ = int(st.slab_occ)
+        if lost is None:
+            lost = int(st.mig_lost)
+        if defer is None:
+            defer = int(st.mig_defer)
         cfg = self.cfg
         rebuild = False
         if occ > cfg.grid.cap:
@@ -960,7 +996,8 @@ class MDRunner:
                 cfg, grid=CellGrid(dims=g.dims, cap=new_cap,
                                    stencil=g.stencil, edge=g.edge))
             rebuild = True
-        miss = int(st.bond_miss)
+        if miss is None:
+            miss = int(st.bond_miss)
         if miss > getattr(self, "_bond_miss_seen", 0):
             print(f"WARNING: {miss} bond/angle records had partners "
                   "outside the +-1-slab reach (stretched topology; "

@@ -1,9 +1,14 @@
 #!/usr/bin/env python
-"""Headline benchmark: steps/sec on the reference's case study 1
-(40,000-atom Ar LJ gas, rcut 4 A, dt 1 fs, radiative thermostat 298 K —
-reference: case study 1/control.txt, field.txt, atoms.xyz).
+"""Headline benchmark: steps/sec on BOTH reference case studies.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- case study 1: 40,000-atom Ar LJ gas, rcut 4 A, dt 1 fs, radiative
+  thermostat 298 K (case study 1/control.txt, field.txt, atoms.xyz).
+- case study 2: 4,000-atom clustered Surkov deck, rcut 6 A, radiative
+  thermostat 500 K (case study 2/control.txt:2-5, field.txt:1-8) — the
+  reference's dense flagship workload.
+
+Prints ONE JSON line per deck, cs1 FIRST (the driver parses the first
+line): {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the engine's production execution mode: the jitted multi-step
 `lax.scan` (one dispatch per chunk), which is how the runner drives the
@@ -11,13 +16,18 @@ simulation.  The shared axon tunnel shows large run-to-run contention
 (2x swings on identical code), so the result is the BEST of several
 measurement windows — the number the hardware actually achieves when
 not preempted.  AZTOT_BENCH_MODE=step measures per-step dispatches
-instead (the round-1 methodology).
+instead (the round-1 methodology).  AZTOT_BENCH_DECK=<dir> restricts
+the run to a single deck.
 
-Baseline: the reference publishes no benchmark numbers (BASELINE.md).  The
-only timing breadcrumb is the dev comment "4|16 - 123 ... s" for a whole
-run (src/cuPairs.cu:1131,1141) on an RTX 2080 Ti-class GPU; read as a
+Baseline: the reference publishes no benchmark numbers (BASELINE.md).
+The only timing breadcrumb is the dev comment "4|16 - 123 ... s" for a
+whole run (src/cuPairs.cu:1141) on an RTX 2080 Ti-class GPU; read as a
 100k-step case-study run it implies ~813 steps/s, which we adopt as the
-provisional reference bar until a real measurement exists.
+provisional reference bar until a real measurement exists.  The same
+813 bar is reused for case study 2 as a CONSERVATIVE stand-in: the
+dense Surkov deck is strictly harder per step for the reference's
+cap^2 cell-pair kernels than the dilute cs1 gas, so any vs_baseline
+ratio reported against it understates the true speedup.
 """
 
 import json
@@ -26,21 +36,21 @@ import sys
 import time
 
 BASELINE_STEPS_PER_SEC = 813.0
-DECK = os.environ.get("AZTOT_BENCH_DECK",
-                      "/root/reference/case study 1")
+DECKS = [
+    ("steps_per_sec_case_study_1_40k_ar_lj",
+     "/root/reference/case study 1"),
+    ("steps_per_sec_case_study_2_4k_surkov",
+     "/root/reference/case study 2"),
+]
 
 
-def main():
+def bench_deck(metric, deck, mode, chunk, windows):
     import jax
 
     from aztotmd_tpu.runtime.setup import load_deck_dir
     from aztotmd_tpu.runtime.step import make_multi_step, make_step
 
-    mode = os.environ.get("AZTOT_BENCH_MODE", "scan")
-    chunk = int(os.environ.get("AZTOT_BENCH_CHUNK", "2000"))
-    windows = int(os.environ.get("AZTOT_BENCH_WINDOWS", "5"))
-
-    sysd = load_deck_dir(DECK)
+    sysd = load_deck_dir(deck)
     cfg, ff, state, aux = sysd["cfg"], sysd["ff"], sysd["state"], sysd["aux"]
 
     t0 = time.time()
@@ -74,15 +84,28 @@ def main():
     sps = chunk / best
     ns_day = sps * cfg.dt * 86400.0 / 1000.0   # dt is ps
     print(json.dumps({
-        "metric": "steps_per_sec_case_study_1_40k_ar_lj",
+        "metric": metric,
         "value": round(sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
     }))
-    print(f"# mode={mode} ns/day={ns_day:.1f} warmup(compile)={t_warm:.1f}s "
+    sys.stdout.flush()
+    print(f"# deck={deck!r} mode={mode} ns/day={ns_day:.1f} "
+          f"warmup(compile)={t_warm:.1f}s "
           f"windows={[round(t, 2) for t in times]} chunk={chunk} "
           f"n_at={cfg.n_at} device={jax.devices()[0].device_kind}",
           file=sys.stderr)
+
+
+def main():
+    mode = os.environ.get("AZTOT_BENCH_MODE", "scan")
+    chunk = int(os.environ.get("AZTOT_BENCH_CHUNK", "2000"))
+    windows = int(os.environ.get("AZTOT_BENCH_WINDOWS", "5"))
+    only = os.environ.get("AZTOT_BENCH_DECK")
+
+    decks = ([("steps_per_sec_custom_deck", only)] if only else DECKS)
+    for metric, deck in decks:
+        bench_deck(metric, deck, mode, chunk, windows)
 
 
 if __name__ == "__main__":

@@ -288,9 +288,14 @@ def test_runner_mesh_matches_single_device(tmp_path):
     r4 = MDRunner(load_deck_dir(str(deck), dtype="f32"),
                   out_dir=str(tmp_path / "out4"), quiet=True,
                   mesh_devices=4)
-    assert r4.mesh is not None and not r4.ring_ok
+    # mesh mode drives the SAME on-device stat ring as single-chip
+    # (VERDICT r3 item 1): identical host-dispatch cadence, so real
+    # multi-chip hardware keeps the one-round-trip-per-many-periods
+    # behavior that the single-chip path relies on
+    assert r4.mesh is not None and r4.ring_ok
     r4.run()
     r4.finalize()
+    assert r4.n_dispatch == r1.n_dispatch
 
     s1 = np.loadtxt(tmp_path / "out1" / "stat.dat", skiprows=2)
     s4 = np.loadtxt(tmp_path / "out4" / "stat.dat", skiprows=2)
@@ -685,3 +690,67 @@ def test_mesh_checkpoint_resumes_single_chip(tmp_path):
     p_res = np.asarray(rr.state.pos)
     assert int(rr.state.step) == int(r1.state.step)
     np.testing.assert_allclose(p_res, p_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_runner_mesh_ring_reactive_matches_single_chip(tmp_path):
+    """Mesh-mode on-device stat ring on a REACTIVE deck (ejump_redox:
+    Nose + direct elec + Metropolis jumps): the slab ring's stat row
+    reads the replicated topology globals, so stat.dat and jumps.dat
+    must match the single-chip ring run — with the SAME host-dispatch
+    count (VERDICT r3 item 1; cuStat.cu:17-71 buffered-flush analog)."""
+    import os
+    from aztotmd_tpu.runtime.runner import MDRunner
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+
+    deck = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "ejump_redox")
+
+    r1 = MDRunner(load_deck_dir(deck, dtype="f32"),
+                  out_dir=str(tmp_path / "o1"), quiet=True)
+    assert r1.ring_ok
+    r1.run(300)
+    r1.finalize()
+
+    r3 = MDRunner(load_deck_dir(deck, dtype="f32"),
+                  out_dir=str(tmp_path / "o3"), quiet=True,
+                  mesh_devices=3)
+    assert r3.ring_ok and r3.mesh is not None
+    r3.run(300)
+    r3.finalize()
+    assert r3.n_dispatch == r1.n_dispatch
+
+    s1 = np.loadtxt(tmp_path / "o1" / "stat.dat", skiprows=2)
+    s3 = np.loadtxt(tmp_path / "o3" / "stat.dat", skiprows=2)
+    assert s1.shape == s3.shape and s1.shape[0] == 3
+    # ~5e-4 rel drift by step 300 is the pre-existing f32 slab-vs-
+    # single-chip summation-order divergence (Nose amplifies it); the
+    # ring output is bit-identical to the NON-ring mesh path (checked
+    # with AZTOTMD_NO_RING=1), so this bounds trajectory drift, not
+    # ring correctness
+    np.testing.assert_allclose(s3, s1, rtol=2e-3, atol=2e-4)
+
+    # jump decisions are replicated bit-exactly (deterministic claims +
+    # counter-keyed RNG) -> identical jump counters
+    j1 = np.loadtxt(tmp_path / "o1" / "jumps.dat", skiprows=1)
+    j3 = np.loadtxt(tmp_path / "o3" / "jumps.dat", skiprows=1)
+    np.testing.assert_array_equal(j3, j1)
+
+    # the ring must be a pure execution-cadence change: against the
+    # NON-ring mesh path (same mesh, per-chunk dispatches + host stat
+    # pulls) stat.dat, rdf.dat and jumps.dat are byte-identical
+    import os as _os
+    _os.environ["AZTOTMD_NO_RING"] = "1"
+    try:
+        rn = MDRunner(load_deck_dir(deck, dtype="f32"),
+                      out_dir=str(tmp_path / "on"), quiet=True,
+                      mesh_devices=3)
+        assert not rn.ring_ok
+        rn.run(300)
+        rn.finalize()
+    finally:
+        del _os.environ["AZTOTMD_NO_RING"]
+    assert rn.n_dispatch > r3.n_dispatch
+    for fn in ("stat.dat", "rdf.dat", "jumps.dat"):
+        a = (tmp_path / "o3" / fn).read_text()
+        b = (tmp_path / "on" / fn).read_text()
+        assert a == b, f"{fn} differs between ring and non-ring mesh"
