@@ -1013,11 +1013,23 @@ class MDRunner:
                       "redistributing", file=sys.stderr)
                 self._slab_cap_factor *= 1.5
                 rebuild = True
-            elif defer > seen[1] and not getattr(self, "_defer_warned", 0):
-                print(f"WARNING: {defer} deferred slab migrations so far "
-                      "(sender buffer full); atoms retry next step but "
-                      "sit out one pair pass", file=sys.stderr)
-                self._defer_warned = 1
+            elif defer > seen[1]:
+                # escalating monitor: deferrals on K consecutive checks
+                # mean the sender buffer is chronically undersized —
+                # raise capacity and redistribute instead of re-warning
+                hits = getattr(self, "_defer_hits", 0) + 1
+                self._defer_hits = hits
+                if hits == 1:
+                    print(f"WARNING: {defer} deferred slab migrations so "
+                          "far (sender buffer full); atoms retry next "
+                          "step but sit out one pair pass",
+                          file=sys.stderr)
+                elif hits >= 3:
+                    print(f"WARNING: migrations still deferring after "
+                          f"{hits} checks ({defer} total); raising "
+                          "capacity and redistributing", file=sys.stderr)
+                    self._slab_cap_factor *= 1.5
+                    rebuild = True
         if rebuild:
             from ..parallel import slab as _slab
             md = self._slab_to_mdstate()
@@ -1028,6 +1040,61 @@ class MDRunner:
             self._sview_cache = None
             # the fresh state restarts its counters from zero
             self._slab_mig_seen = (0, 0)
+            self._defer_hits = 0
+
+    def _escalate_skin(self, viol):
+        """Skin violations kept accruing after the first warning: grow
+        nb_skin 1.5x (and n_neigh by the reach-volume ratio so the
+        thicker list still fits), capped at the outer reach in two-level
+        mode — there, fall back to halving nb_rebuild.  Bounded at 3
+        reactions; after that re-warn with counts so the degradation is
+        never silent."""
+        import dataclasses
+        from ..core.config import _round_up
+        cfg = self.cfg
+        grown = getattr(self, "_skin_grown", 0)
+        self._viol_hits = 0
+        if grown >= 3:
+            print(f"WARNING: {viol} neighbor-skin violations and the "
+                  "auto-escalation budget is spent; trajectory may miss "
+                  "pairs — re-tune nb_skin/nb_rebuild", file=sys.stderr)
+            return
+        self._skin_grown = grown + 1
+        old = cfg.nb_skin
+        new = old * 1.5
+        if cfg.nb_outer > 1:
+            # the inner list is refined FROM the outer list: its reach
+            # r_max + nb_skin must stay within r_max + nb_skin2
+            new = min(new, cfg.nb_skin2)
+        if new <= old + 1e-9:
+            if cfg.nb_rebuild > 1:
+                new_r = max(1, cfg.nb_rebuild // 2)
+                print(f"WARNING: {viol} neighbor-skin violations keep "
+                      f"accruing; shortening nb_rebuild "
+                      f"{cfg.nb_rebuild} -> {new_r}", file=sys.stderr)
+                self.cfg = dataclasses.replace(cfg, nb_rebuild=new_r)
+                self._build_programs()
+            else:
+                print(f"WARNING: {viol} neighbor-skin violations with "
+                      "nb_skin at the outer reach and per-step rebuilds; "
+                      "re-tune nb_skin2/nb_outer", file=sys.stderr)
+            return
+        ratio = ((cfg.r_max + new) / (cfg.r_max + old)) ** 3
+        new_k = _round_up(int(math.ceil(cfg.n_neigh * ratio)) + 4, 4)
+        print(f"WARNING: {viol} neighbor-skin violations keep accruing; "
+              f"growing nb_skin {old:.3f} -> {new:.3f} "
+              f"(K {cfg.n_neigh} -> {new_k})", file=sys.stderr)
+        self.cfg = dataclasses.replace(cfg, nb_skin=new, n_neigh=new_k)
+        N = self.cfg.n_at
+        extra = {}
+        if self.cfg.nb_rowcap:
+            extra["nbrow_idx"] = jax.numpy.asarray(
+                np.full((self.cfg.nb_rowcap, 1 + new_k), N, np.int32))
+        self.state = self.state.replace(
+            nbr_idx=jax.numpy.asarray(np.full((N, new_k), N, np.int32)),
+            nbr_ref=self.state.nbr_ref + 1e9,   # force rebuild
+            **extra)
+        self._build_programs()
 
     def _check_overflow(self, occ=None, nbr_over=None, nbr_viol=None,
                         rdf_over=None, nbrow_over=None):
@@ -1039,11 +1106,19 @@ class MDRunner:
         import dataclasses
         if occ is None:
             occ = int(self.state.cell_overflow)
-        if nbr_viol and not getattr(self, "_viol_warned", False):
-            print(f"WARNING: {nbr_viol} neighbor-skin violations so far; "
-                  "consider a thicker nb_skin or shorter nb_rebuild",
-                  file=sys.stderr)
-            self._viol_warned = True
+        if nbr_viol and self.cfg.pair_engine == "neighbor" \
+                and nbr_viol > getattr(self, "_viol_seen", 0):
+            # escalating monitor: warn on the first violation window,
+            # REACT if violations keep accruing on later checks (a
+            # monotonically degrading run must not degrade silently)
+            self._viol_seen = nbr_viol
+            self._viol_hits = getattr(self, "_viol_hits", 0) + 1
+            if self._viol_hits == 1:
+                print(f"WARNING: {nbr_viol} neighbor-skin violations so "
+                      "far; will thicken nb_skin if they keep accruing",
+                      file=sys.stderr)
+            else:
+                self._escalate_skin(nbr_viol)
         if self.cfg.pair_engine == "neighbor":
             over = int(self.state.nbr_over) if nbr_over is None \
                 else nbr_over
