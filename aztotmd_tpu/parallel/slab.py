@@ -173,6 +173,19 @@ def prepare_slab_cfg(cfg, n_dev: int):
         grid = dataclasses.replace(
             grid, dims=(ncx,) + grid.dims[1:],
             edge=(cfg.box[0] / ncx,) + grid.edge[1:])
+    if cfg.pair_engine in ("pallas", "sparse"):
+        # cost-model guard (VERDICT r3 item 9): the slab pair pass is
+        # block-style only, so a dense/clustered deck that auto-selected
+        # the dense-N^2 or Morton-sparse kernel on one chip pays
+        # ~27*cap^2 slot-pair ops per cell here — make the regime change
+        # loud instead of silently 10x slower
+        import sys
+        print(f"WARNING: deck auto-selected the '{cfg.pair_engine}' "
+              f"pair engine (dense/clustered regime) but the slab mesh "
+              f"implements the cell-block pass only: ~27*cap^2 = "
+              f"{27 * grid.cap ** 2} slot-pair ops per cell per step "
+              f"(cap={grid.cap}).  A single chip with the dense kernel "
+              "may outrun the mesh on this deck.", file=sys.stderr)
     cfg = dataclasses.replace(cfg, grid=grid, pair_engine="block")
     check_slab_cfg(cfg, n_dev)
     return cfg

@@ -826,3 +826,25 @@ def test_runner_mig_defer_escalates_after_repeated_checks(tmp_path):
     # the run continues fine at the new capacity
     r.run(100)
     r.finalize()
+
+
+def test_slab_cost_model_warns_on_clustered_deck(capsys):
+    """VERDICT r3 item 9: a deck that auto-selected the dense/sparse
+    engine on one chip must not silently become ~10x slower under the
+    slab mesh's block-only pair pass — prepare_slab_cfg warns with the
+    cap^2 cost estimate."""
+    import os
+    from aztotmd_tpu.parallel.slab import prepare_slab_cfg
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+
+    deck = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "nanoclusters")
+    cfg = load_deck_dir(deck, dtype="f32")["cfg"]
+    assert cfg.pair_engine == "sparse"
+    c2 = prepare_slab_cfg(cfg, 2)
+    assert c2.pair_engine == "block"
+    err = capsys.readouterr().err
+    assert "cell-block pass only" in err and "cap^2" in err
+
+    # the dilute cs1-style regime stays silent
+    capsys.readouterr()
