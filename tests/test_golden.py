@@ -105,3 +105,42 @@ def test_case1_1000step_ring_stat_and_rdf_digest(case1_dir, tmp_path):
     assert float(g[:, 1].sum()) == pytest.approx(481.961, rel=1e-4)
     assert int(g[:, 1].argmax()) == 309
     assert float(g[:, 1].max()) == pytest.approx(2.369089, rel=1e-4)
+
+
+def test_case2_1000step_ring_stat_and_rdf_digest(case2_dir, tmp_path):
+    """cs2 long-window digest (VERDICT r3 item 8): 1000 steps of the
+    dense Surkov + radiative deck through the PRODUCTION ring-mode
+    runner with the auto-selected dense engine — guards the
+    sparse/pallas auto-selection stack, Surkov radius dependence,
+    radiative thermostat and writers end-to-end as written to disk."""
+    from aztotmd_tpu.runtime.runner import MDRunner
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+
+    sysd = load_deck_dir(case2_dir, dtype="f32", seed=12345)
+    r = MDRunner(sysd, out_dir=str(tmp_path), quiet=True)
+    assert r.ring_ok                      # the production path
+    assert r.cfg.pair_engine == "pallas"  # the dense-deck auto-select
+    r.run(1000)
+    r.finalize()
+
+    s = np.loadtxt(tmp_path / "stat.dat", skiprows=2)
+    assert s.shape == (5, 15)             # stat every 200 steps
+    # (time, step, engTot, engKin, engVdW, ..., engTerm) checkpoints
+    pinned = {
+        0: (0.2, 200, -1335.465088, 66.727692, -1402.192749, 95.690399),
+        2: (0.6, 600, -1333.421875, 60.315140, -1393.737061, 95.689934),
+        4: (1.0, 1000, -1334.089233, 68.218178, -1402.307373, 95.689323),
+    }
+    for row, (t, st, tot, kin, vdw, term) in pinned.items():
+        assert s[row, 0] == pytest.approx(t, abs=1e-9)
+        assert s[row, 1] == st
+        assert s[row, 2] == pytest.approx(tot, rel=2e-5)
+        assert s[row, 3] == pytest.approx(kin, rel=2e-4)
+        assert s[row, 4] == pytest.approx(vdw, rel=2e-5)
+        assert s[row, 7] == pytest.approx(term, rel=1e-5)
+
+    g = np.loadtxt(tmp_path / "rdf.dat", skiprows=2)
+    assert g.shape == (399, 2)
+    assert float(g[:, 1].sum()) == pytest.approx(1536.695, rel=1e-4)
+    assert int(g[:, 1].argmax()) == 66
+    assert float(g[:, 1].max()) == pytest.approx(30.17426, rel=1e-4)
