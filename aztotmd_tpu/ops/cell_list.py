@@ -80,6 +80,21 @@ def stencil_offsets(cfg):
     return np.asarray(cfg.grid.stencil, dtype=np.int32)
 
 
+def stencil_cell_ids(cfg, coords):
+    """Flat CELL ids of every stencil cell per atom: (N, S) int32.
+
+    coords: (N, 3) integer cell coordinates.  Cell c's slots are the
+    contiguous table rows [c*cap, (c+1)*cap) in the layout shared by
+    build_cell_table and build_pos_table.
+    """
+    grid = cfg.grid
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    offs = jnp.asarray(stencil_offsets(cfg))              # (S, 3)
+    ncoord = (coords[:, None, :] + offs[None, :, :]) % dims   # (N, S, 3)
+    _, ncy, ncz = grid.dims
+    return (ncoord[..., 0] * ncy + ncoord[..., 1]) * ncz + ncoord[..., 2]
+
+
 def stencil_slot_ids(cfg, coords):
     """Flat table-slot ids of every stencil-cell slot per atom.
 
@@ -89,11 +104,7 @@ def stencil_slot_ids(cfg, coords):
     """
     grid = cfg.grid
     cap = grid.cap
-    dims = jnp.asarray(grid.dims, jnp.int32)
-    offs = jnp.asarray(stencil_offsets(cfg))              # (S, 3)
-    ncoord = (coords[:, None, :] + offs[None, :, :]) % dims   # (N, S, 3)
-    _, ncy, ncz = grid.dims
-    ncid = (ncoord[..., 0] * ncy + ncoord[..., 1]) * ncz + ncoord[..., 2]
+    ncid = stencil_cell_ids(cfg, coords)                  # (N, S)
     slots = (ncid[:, :, None] * cap
              + jnp.arange(cap, dtype=jnp.int32)[None, None, :])
     return slots.reshape(slots.shape[0], -1)              # (N, S*cap)

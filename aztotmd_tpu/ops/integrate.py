@@ -98,20 +98,18 @@ def pressure_update(cfg, state, eng_dict=None):
     # 1.58e6: eV/A^3 -> atm conversion constant (main.cu:133)
     k = 2.0 * 1.58e6 / (cfg.dt * (n_mom - 1))
 
-    def warmup(_):
-        buf_p = state.mom_buf_pos.at[step].set(state.pos_mom, mode="drop")
-        buf_n = state.mom_buf_neg.at[step].set(state.neg_mom, mode="drop")
-        return state.pressure, buf_p, buf_n, state.i_mom
-
-    def steady(_):
-        pp = k * (state.pos_mom - state.mom_buf_pos[i]) * rev_area
-        pn = k * (state.neg_mom - state.mom_buf_neg[i]) * rev_area
-        j = jnp.where(i - 1 < 0, n_mom - 1, i - 1)
-        buf_p = state.mom_buf_pos.at[j].set(state.pos_mom)
-        buf_n = state.mom_buf_neg.at[j].set(state.neg_mom)
-        i_next = jnp.where(i + 1 >= n_mom, 0, i + 1)
-        pres = (jnp.sum(pp) + jnp.sum(pn)) / 6.0
-        return pres, buf_p, buf_n, i_next
-
-    import jax
-    return jax.lax.cond(step >= n_mom - 1, steady, warmup, None)
+    # branch-free: the two paths differ only in write slot / outputs, and
+    # a per-step lax.cond costs ~7 us of plumbing on TPU (profiled
+    # cond.45) for what is arithmetic on a (n_mom, 3) ring
+    w = step >= n_mom - 1                       # steady regime?
+    j = jnp.where(i - 1 < 0, n_mom - 1, i - 1)  # steady write slot
+    slot = jnp.where(w, j, step)                # warmup writes at `step`
+    buf_p = state.mom_buf_pos.at[slot].set(state.pos_mom, mode="drop")
+    buf_n = state.mom_buf_neg.at[slot].set(state.neg_mom, mode="drop")
+    pp = k * (state.pos_mom - state.mom_buf_pos[i]) * rev_area
+    pn = k * (state.neg_mom - state.mom_buf_neg[i]) * rev_area
+    pres = jnp.where(w, (jnp.sum(pp) + jnp.sum(pn)) / 6.0,
+                     state.pressure)
+    i_next = jnp.where(w, jnp.where(i + 1 >= n_mom, 0, i + 1),
+                       state.i_mom)
+    return pres, buf_p, buf_n, i_next

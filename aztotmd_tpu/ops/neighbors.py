@@ -56,15 +56,25 @@ def build_neighbors_keys(cfg, pos):
     chunk = max(1, int((2 << 30) // max(N * 128 * 4, 1)))
 
     ptab, max_occ = cl.build_pos_table(gcfg, pos)
-    slots = cl.stencil_slot_ids(gcfg, coords)              # (N, M)
+    cap = gcfg.grid.cap
+    S = len(gcfg.grid.stencil)
+    # gather whole CELL rows (cap*4 contiguous floats per fetch) instead
+    # of per-slot AoS rows: the candidate pass is HBM-latency bound, so
+    # 27ish fetches/atom beat S*cap fetches/atom by ~cap x (the 85 ms
+    # outer rebuild at 40k atoms was ~60 ms of per-slot gather latency;
+    # round-4 TPU profile).  Output ordering is identical to the
+    # per-slot gather, so lists and keys stay bitwise-the-same.
+    ptab_rows = ptab.reshape(gcfg.grid.n_cell, cap * 4)
+    ncid = cl.stencil_cell_ids(gcfg, coords)               # (N, S)
+    chunk_cells = max(1, chunk // cap)
 
-    def aos_chunk(sl):
-        g = ptab[sl]                                       # (N, m, 4)
+    def aos_chunk(cid):
+        g = ptab_rows[cid].reshape(N, -1, 4)               # (N, s*cap, 4)
         delta = min_image(pos[:, None, :] - g[..., :3], cfg)
         return (jnp.sum(delta * delta, axis=-1),
                 g[..., 3].astype(jnp.int32))
-    parts = [aos_chunk(slots[:, i:i + chunk])
-             for i in range(0, M, chunk)]
+    parts = [aos_chunk(ncid[:, i:i + chunk_cells])
+             for i in range(0, S, chunk_cells)]
     r2 = jnp.concatenate([p[0] for p in parts], axis=1) \
         if len(parts) > 1 else parts[0][0]
     cand = jnp.concatenate([p[1] for p in parts], axis=1) \
@@ -250,15 +260,20 @@ def _walk(cfg, ff, pos, types, cand, rows=None, radii=None,
 
     # one vector gather: TPU gathers fetch consecutive (x,y,z) triples
     # efficiently; per-component gathers measured 5x slower here (the
-    # rebuild path, which has a huge candidate axis, uses SoA instead)
-    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    # rebuild path, which has a huge candidate axis, uses SoA instead).
+    # Sentinel ids CLIP to a real row instead of indexing a padded copy
+    # of pos: the (N+1, 3) concatenate materializes a row-major
+    # {1,0:T(8,128)} buffer whose 3-wide minor dim pads to 128 lanes
+    # (20.5 MB at 40k atoms, ~6 us/step measured; tools/bench_layout.py)
+    # — every sentinel contribution is masked to zero below anyway.
+    cand_c = jnp.minimum(cand, N - 1)
     if rows is None:
         pos_i = pos
         row_types = types
     else:
-        pos_i = pos_p[rows]
+        pos_i = pos[jnp.minimum(rows, N - 1)]
         row_types = types_p[rows]
-    delta = min_image(pos_i[:, None, :] - pos_p[cand], cfg)
+    delta = min_image(pos_i[:, None, :] - pos[cand_c], cfg)
     r2 = jnp.sum(delta * delta, axis=-1)
     valid = cand != N
     mask = valid & (r2 <= cfg.r2_max)
@@ -391,6 +406,71 @@ def refine_neighbors(cfg, pos, nbr2):
             [idx, jnp.full((N, K - kk), N, jnp.int32)], axis=1)
     n_real = jnp.sum(mask, axis=1)
     return idx, jnp.max(n_real).astype(jnp.int32)
+
+
+def refine_neighbors_rows(cfg, pos, nbr2, r_cap: int):
+    """Row-first inner refine for the row-compacted walk
+    (cfg.nb_rowcap > 0): select the OCCUPIED rows first (a fused
+    gather+reduce over the outer list, (N,) output), then build inner
+    lists only for those r_cap rows — replacing refine_neighbors'
+    (N, K2) top_k + two (N*K) gathers (~3 ms of the 4.4 ms refine at
+    40k atoms, TPU profile round 4) with (r_cap, K2) work.
+
+    Returns (idx (N, K) dense, nbrow (r_cap, 1 + K), n_real_max,
+    n_rows) — idx/nbrow bitwise-match refine_neighbors + compact_rows
+    for all occupied rows when n_rows <= r_cap; beyond r_cap both paths
+    drop the highest-index rows (nbrow_over monitor -> runner regrow),
+    and here the dense idx drops them too (the walk never sees them
+    either way).
+    """
+    N = cfg.n_at
+    K = cfg.n_neigh
+    K2 = nbr2.shape[1]
+    dt = pos.dtype
+    r_nb = cfg.r_max + cfg.nb_skin
+
+    # phase 1: per-row within-reach counts — the (N, K2, 3) gather
+    # fuses into an (N,) reduce (no materialized (N, K2) intermediate)
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    delta = min_image(pos[:, None, :] - pos_p[nbr2], cfg)
+    r2 = jnp.sum(delta * delta, axis=-1)
+    mask = (nbr2 != N) & (r2 <= r_nb * r_nb)
+    n_real = jnp.sum(mask, axis=1)
+    nmax = jnp.max(n_real).astype(jnp.int32)
+    has = n_real > 0
+    n_rows = jnp.sum(has, dtype=jnp.int32)
+
+    # phase 2: occupied rows ascending (same contract as compact_rows)
+    key = jnp.where(has, jnp.arange(N, dtype=jnp.int32), N)
+    rows = (-jax.lax.top_k(-key, r_cap)[0]).astype(jnp.int32)
+
+    # phase 3: candidates + exact r2 for the selected rows only; the
+    # same arithmetic on the same values as refine_neighbors, so the
+    # resulting lists are bitwise-identical
+    cand_p = jnp.concatenate([nbr2, jnp.full((1, K2), N, jnp.int32)],
+                             axis=0)
+    cr = cand_p[rows]                                    # (r_cap, K2)
+    pos_r = pos_p[jnp.minimum(rows, N)]                  # (r_cap, 3)
+    delta_r = min_image(pos_r[:, None, :] - pos_p[cr], cfg)
+    r2_r = jnp.sum(delta_r * delta_r, axis=-1)
+    mask_r = (cr != N) & (r2_r <= r_nb * r_nb)
+    r2m = jnp.where(mask_r, r2_r, jnp.inf)
+    kk = min(K, K2)
+    _, cols = jax.lax.top_k(-r2m.astype(jnp.float32), kk)
+    ridx = jnp.arange(r_cap, dtype=jnp.int32)[:, None]
+    idx_r = cr[ridx, cols]
+    keep = jnp.take_along_axis(mask_r, cols, axis=1)
+    idx_r = jnp.where(keep, idx_r, N).astype(jnp.int32)
+    if kk < K:
+        idx_r = jnp.concatenate(
+            [idx_r, jnp.full((r_cap, K - kk), N, jnp.int32)], axis=1)
+    nbrow = jnp.concatenate([rows[:, None], idx_r], axis=1)
+
+    # phase 4: dense (N, K) for the non-walk consumers (ejump env
+    # sweep, oracles) — a small scatter of the occupied rows
+    idx = jnp.full((N + 1, K), N, jnp.int32).at[rows].set(
+        idx_r, unique_indices=True, indices_are_sorted=True)[:N]
+    return idx, nbrow, nmax, n_rows
 
 
 def build_outer_neighbors(cfg, pos):

@@ -186,3 +186,47 @@ def test_multi_step_rowcap_trajectory_exact():
     assert np.array_equal(np.asarray(s1.vel), np.asarray(s0.vel))
     # the monitor reports the true occupied-row count
     assert int(s1.nbrow_over) > 0
+
+
+def test_refine_rows_matches_refine_plus_compact():
+    """Row-first refine (refine_neighbors_rows, the rowcap-mode hot
+    path): dense idx and nbrow must BITWISE match refine_neighbors +
+    compact_rows when the occupied rows fit r_cap."""
+    cfg, pos = _rand_system(seed=31)
+    inner_K = 6
+    icfg = dataclasses.replace(cfg, n_neigh=inner_K, nb_skin=0.6)
+    idx2, _, _, _ = nbr.build_neighbors_keys(cfg, pos)
+
+    a_idx, a_max = nbr.refine_neighbors(icfg, pos, idx2)
+    r_cap = int((np.asarray(a_idx) != cfg.n_at).any(axis=1).sum()) + 8
+    a_rows, a_nrows = nbr.compact_rows(a_idx, r_cap, cfg.n_at)
+
+    b_idx, b_rows, b_max, b_nrows = nbr.refine_neighbors_rows(
+        icfg, pos, idx2, r_cap)
+
+    assert int(a_max) == int(b_max)
+    assert int(a_nrows) == int(b_nrows)
+    assert np.array_equal(np.asarray(a_rows), np.asarray(b_rows))
+    # dense lists agree on every occupied row; row-first leaves
+    # unoccupied rows at sentinel (the walk never reads them)
+    a = np.asarray(a_idx)
+    b = np.asarray(b_idx)
+    occupied = (a != cfg.n_at).any(axis=1)
+    assert np.array_equal(a[occupied], b[occupied])
+    assert (b[~occupied] == cfg.n_at).all()
+
+
+def test_refine_rows_overflow_drops_highest_rows():
+    """Beyond r_cap both paths drop the HIGHEST-index rows and report
+    the true count for the runner's regrow monitor."""
+    cfg, pos = _rand_system(seed=31)
+    icfg = dataclasses.replace(cfg, n_neigh=6, nb_skin=0.6)
+    idx2, _, _, _ = nbr.build_neighbors_keys(cfg, pos)
+    a_idx, _ = nbr.refine_neighbors(icfg, pos, idx2)
+    n_occ = int((np.asarray(a_idx) != cfg.n_at).any(axis=1).sum())
+    r_cap = max(4, n_occ // 2)
+    a_rows, a_n = nbr.compact_rows(a_idx, r_cap, cfg.n_at)
+    b_idx, b_rows, _, b_n = nbr.refine_neighbors_rows(
+        icfg, pos, idx2, r_cap)
+    assert int(a_n) == int(b_n) == n_occ > r_cap
+    assert np.array_equal(np.asarray(a_rows), np.asarray(b_rows))

@@ -45,6 +45,7 @@ temperature 298.0\tradi\t0.2
 init_vel\tzero\t0.0332
 permittivity 1.0
 elec\tfenn\t8.0\t0.4\t6\t6\t6
+rdf\t14.0 0.02\t50\t100000\tnucl
 stat\t100
 """)
     with open(os.path.join(path, "field.txt"), "w") as f:

@@ -90,6 +90,7 @@ init_vel\tgaus
 permittivity 1.0
 elec\tnone
 
+rdf\t6.0 0.05\t100\t0\t-nucl
 stat\t100
 """)
     print(f"wrote {args.out}: {n} atoms, {n} bonds, box {box:.1f}, "
