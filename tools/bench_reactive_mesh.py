@@ -46,10 +46,11 @@ def main():
         tr, slots_r = bench("/tmp/rx100k", n_dev)
         tc, _ = bench("/tmp/rx100k_const", n_dev)
         over = (tr - tc) / tc * 100
+        # slots_r is the GLOBAL sharded shape; per-device is /n_dev
         print(f"n_dev={n_dev}: reactive {tr * 1e3:8.1f} ms/step  "
               f"constant {tc * 1e3:8.1f} ms/step  "
               f"reactive overhead {over:+.0f}%  "
-              f"(slots/dev {slots_r})")
+              f"(slots/dev {slots_r // n_dev})", flush=True)
 
 
 if __name__ == "__main__":
