@@ -185,7 +185,9 @@ def prepare_slab_cfg(cfg, n_dev: int):
               f"implements the cell-block pass only: ~27*cap^2 = "
               f"{27 * grid.cap ** 2} slot-pair ops per cell per step "
               f"(cap={grid.cap}).  A single chip with the dense kernel "
-              "may outrun the mesh on this deck.", file=sys.stderr)
+              "may outrun the mesh on this deck; `--mesh-mode atoms` "
+              "keeps the dense/sparse kernel (atom-sharded pair pass).",
+              file=sys.stderr)
     cfg = dataclasses.replace(cfg, grid=grid, pair_engine="block")
     check_slab_cfg(cfg, n_dev)
     return cfg

@@ -7,7 +7,8 @@ overheads (~50 fused kernels per step).  This tool names them so the
 next optimization targets the right fusions.
 
 Run: timeout 1200 env PYTHONPATH=/root/repo:/root/.axon_site \\
-       python tools/profile_step.py
+       python tools/profile_step.py [deck_dir]
+(deck_dir defaults to case study 1.)
 Writes /tmp/step_trace/ and prints the aggregated kernel table.
 """
 import glob
@@ -27,7 +28,9 @@ def main():
     from aztotmd_tpu.runtime.step import (make_step, make_multi_step,
                                           refine_neighbors_state)
 
-    sysd = load_deck_dir("/root/reference/case study 1", dtype="f32")
+    deck = (sys.argv[1] if len(sys.argv) > 1
+            else "/root/reference/case study 1")
+    sysd = load_deck_dir(deck, dtype="f32")
     cfg, state, ff, aux = (sysd["cfg"], sysd["state"], sysd["ff"],
                            sysd["aux"])
     base = make_multi_step(cfg, aux, donate=False)
