@@ -259,6 +259,15 @@ class SimConfig:
     # all-sentinel; walking only occupied rows cut the cs1 pair pass
     # ~4x (tools/bench_gather.py).  nbrow_over monitors overflow.
     nb_rowcap: int = 0
+    # outer-row-compacted refine: capacity for the rows with >=1 OUTER
+    # list entry (0 disables).  A row with an empty outer list can never
+    # gain inner neighbors between full rebuilds (the inner refine
+    # selects from nbr2 only), so the every-nb_rebuild refine can scan
+    # just these rows instead of all N — exact, and the (N, K2)
+    # gather+reduce was the dominant refine cost at large N (70 ms at
+    # 320k atoms vs ~20 ms over the ~27%-occupied outer rows).
+    # orow_over monitors overflow (runner regrows + full rebuild).
+    nb_orowcap: int = 0
     # Morton block-sparse engine (ops.pallas_sparse): tile size and the
     # static worklist capacity (interacting ordered tile pairs); the
     # runner regrows pair_cap when PairResult.max_occ exceeds it
@@ -393,6 +402,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
     n_neigh = 4
     nb_rebuild = 40
     nb_rowcap = 0
+    nb_orowcap = 0
     if pair_engine == "neighbor":
 
         def count_k(reach):
@@ -454,6 +464,19 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
             if frac_occ <= 0.15:
                 est = int(frac_occ * n_at)
                 nb_rowcap = min(_round_up(2 * est + 256, 128), n_at)
+
+        # outer-row-compacted refine: scan only the rows with outer
+        # entries during the every-nb_rebuild refine.  Exact (empty
+        # outer row => empty inner row), so the only cost of a generous
+        # capacity is memory; past ~60% occupancy the full (N, K2) scan
+        # is no worse and needs no capacity monitor.
+        if nb_rowcap and nb_outer > 1 and pos is not None:
+            _, frac2 = _neigh_stats(pos, box, r_max + nb_skin2)
+            if frac2 <= 0.6:
+                est2 = int(frac2 * n_at)
+                nb_orowcap = max(
+                    min(_round_up(2 * est2 + 256, 128), n_at),
+                    nb_rowcap)
 
     # degrees of freedom and thermostat constants (sys_init.cpp:1099-1111)
     deg_free = 3 * n_at - n_bonds_init
@@ -534,6 +557,7 @@ def build_sim_config(ctl: ControlSpec, fld: FieldSpec, box, n_at: int,
         nb_skin2=nb_skin2 if pair_engine == "neighbor" else 0.0,
         nb_outer=nb_outer if pair_engine == "neighbor" else 1,
         nb_rowcap=nb_rowcap if pair_engine == "neighbor" else 0,
+        nb_orowcap=nb_orowcap if pair_engine == "neighbor" else 0,
         mx_bond=mx_bond, mx_angle=mx_angle,
         n_free_el=n_free_el, max_neigh=ctl.max_neigh,
         dtype=dtype,

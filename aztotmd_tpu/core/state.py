@@ -116,6 +116,11 @@ class MDState:
     # for the rows that HAVE neighbors (ops/neighbors.compact_rows)
     nbrow_idx: jax.Array    # (max(nb_rowcap, 1), 1 + K) int32
     nbrow_over: jax.Array   # int32 max occupied-row count seen
+    # outer-row-compacted refine (cfg.nb_orowcap > 0): ascending atom
+    # ids with >=1 OUTER-list entry at the last full rebuild (sentinel
+    # N); the every-nb_rebuild refine scans only these rows
+    orow_idx: jax.Array     # (max(nb_orowcap, 1),) int32
+    orow_over: jax.Array    # int32 max outer-occupied-row count seen
     #                         (ring mode builds an (N, k_cap) list per
     #                         stat period; counts beyond k_cap would be
     #                         silently truncated without this monitor)
@@ -244,6 +249,8 @@ def init_state(cfg, types, pos, vel=None, parents=None, nbonds=None,
             (max(cfg.nb_rowcap, 1),
              1 + (cfg.n_neigh if cfg.nb_rowcap else 1)), N, np.int32),
         nbrow_over=i0(),
+        orow_idx=np.full((max(cfg.nb_orowcap, 1),), N, np.int32),
+        orow_over=i0(),
         touched=np.zeros((N,), bool),
         rng=rng0,
         step=i0(), cell_overflow=i0(),

@@ -247,6 +247,22 @@ def compact_rows(nbr_idx, r_cap: int, n_at: int):
     return nbrow, n_rows
 
 
+def compact_orows(idx2, o_cap: int, n_at: int):
+    """Ascending atom ids with >=1 real entry in the OUTER (N, K2) list
+    (sentinel N on padding rows) + the true occupied count.
+
+    Computed once per full rebuild; refine_neighbors_rows then scans
+    only these rows — exact, because the inner refine selects from the
+    outer list, so a row empty here stays empty until the next rebuild.
+    """
+    N = n_at
+    has = jnp.any(idx2 != N, axis=1)
+    n_rows = jnp.sum(has, dtype=jnp.int32)
+    key = jnp.where(has, jnp.arange(N, dtype=jnp.int32), N)
+    orow = (-jax.lax.top_k(-key, o_cap)[0]).astype(jnp.int32)
+    return orow, n_rows
+
+
 def _walk(cfg, ff, pos, types, cand, rows=None, radii=None,
           parents=None, want_bind: bool = False,
           want_jump: bool = False) -> PairResult:
@@ -408,13 +424,20 @@ def refine_neighbors(cfg, pos, nbr2):
     return idx, jnp.max(n_real).astype(jnp.int32)
 
 
-def refine_neighbors_rows(cfg, pos, nbr2, r_cap: int):
+def refine_neighbors_rows(cfg, pos, nbr2, r_cap: int, orow=None):
     """Row-first inner refine for the row-compacted walk
     (cfg.nb_rowcap > 0): select the OCCUPIED rows first (a fused
     gather+reduce over the outer list, (N,) output), then build inner
     lists only for those r_cap rows — replacing refine_neighbors'
     (N, K2) top_k + two (N*K) gathers (~3 ms of the 4.4 ms refine at
     40k atoms, TPU profile round 4) with (r_cap, K2) work.
+
+    orow (cfg.nb_orowcap > 0): ascending atom ids with >=1 OUTER entry
+    at the last full rebuild (ops.neighbors.compact_orows) — phase 1
+    then scans (o_cap, K2) instead of (N, K2).  EXACT, not heuristic: a
+    row with an empty outer list refines to an empty inner list, so
+    skipping it changes nothing (the 70 ms (N, K2) sweep at 320k atoms
+    drops to the ~27%-occupied outer rows).  Requires r_cap <= o_cap.
 
     Returns (idx (N, K) dense, nbrow (r_cap, 1 + K), n_real_max,
     n_rows) — idx/nbrow bitwise-match refine_neighbors + compact_rows
@@ -429,19 +452,35 @@ def refine_neighbors_rows(cfg, pos, nbr2, r_cap: int):
     dt = pos.dtype
     r_nb = cfg.r_max + cfg.nb_skin
 
-    # phase 1: per-row within-reach counts — the (N, K2, 3) gather
-    # fuses into an (N,) reduce (no materialized (N, K2) intermediate)
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
-    delta = min_image(pos[:, None, :] - pos_p[nbr2], cfg)
-    r2 = jnp.sum(delta * delta, axis=-1)
-    mask = (nbr2 != N) & (r2 <= r_nb * r_nb)
-    n_real = jnp.sum(mask, axis=1)
+    if orow is None:
+        # phase 1: per-row within-reach counts — the (N, K2, 3) gather
+        # fuses into an (N,) reduce (no materialized (N, K2) buffer)
+        delta = min_image(pos[:, None, :] - pos_p[nbr2], cfg)
+        r2 = jnp.sum(delta * delta, axis=-1)
+        mask = (nbr2 != N) & (r2 <= r_nb * r_nb)
+        n_real = jnp.sum(mask, axis=1)
+        has = n_real > 0
+        row_ids = jnp.arange(N, dtype=jnp.int32)
+    else:
+        # phase 1 over the outer-occupied rows only; sentinel rows
+        # (orow == N) hit the all-sentinel padding row of cand_p and
+        # the zero row of pos_p, and mask to zero counts
+        cand_p = jnp.concatenate(
+            [nbr2, jnp.full((1, K2), N, jnp.int32)], axis=0)
+        co = cand_p[orow]                                 # (o_cap, K2)
+        pos_o = pos_p[orow]
+        delta = min_image(pos_o[:, None, :] - pos_p[co], cfg)
+        r2 = jnp.sum(delta * delta, axis=-1)
+        mask = (co != N) & (r2 <= r_nb * r_nb)
+        n_real = jnp.sum(mask, axis=1)
+        has = n_real > 0
+        row_ids = orow
     nmax = jnp.max(n_real).astype(jnp.int32)
-    has = n_real > 0
     n_rows = jnp.sum(has, dtype=jnp.int32)
 
     # phase 2: occupied rows ascending (same contract as compact_rows)
-    key = jnp.where(has, jnp.arange(N, dtype=jnp.int32), N)
+    key = jnp.where(has, row_ids, N)
     rows = (-jax.lax.top_k(-key, r_cap)[0]).astype(jnp.int32)
 
     # phase 3: candidates + exact r2 for the selected rows only; the

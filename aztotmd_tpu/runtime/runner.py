@@ -1161,6 +1161,23 @@ class MDRunner:
                         nbrow_idx=jax.numpy.asarray(padr),
                         nbr_ref=self.state.nbr_ref + 1e9)
                     self._build_programs()
+            if self.cfg.nb_orowcap:
+                oover = int(self.state.orow_over)
+                if oover > self.cfg.nb_orowcap:
+                    from ..core.config import _round_up
+                    new_cap = min(_round_up(oover + max(128, oover // 4),
+                                            128), self.cfg.n_at)
+                    print(f"WARNING: outer-occupied row count {oover} "
+                          f"exceeded capacity {self.cfg.nb_orowcap}; "
+                          f"rebuilding with orowcap={new_cap}",
+                          file=sys.stderr)
+                    self.cfg = dataclasses.replace(self.cfg,
+                                                   nb_orowcap=new_cap)
+                    pado = np.full((new_cap,), self.cfg.n_at, np.int32)
+                    self.state = self.state.replace(
+                        orow_idx=jax.numpy.asarray(pado),
+                        nbr_ref=self.state.nbr_ref + 1e9)
+                    self._build_programs()
             if self.cfg.nb_outer > 1:
                 over2 = int(self.state.nbr2_over)
                 if over2 > self.cfg.n_neigh2:

@@ -62,12 +62,20 @@ def rebuild_neighbors_state(cfg, state):
             idx2, nmax2, occ = ops_nbr.build_outer_neighbors(
                 cfg, state.pos)
             idx, nmax = ops_nbr.refine_neighbors(cfg, state.pos, idx2)
+        extra = {}
+        if cfg.nb_orowcap:
+            # outer-occupied row ids for the outer-row-compacted refine
+            # (refine_neighbors_rows(orow=...)); exact between rebuilds
+            orow, n_orow = ops_nbr.compact_orows(
+                idx2, cfg.nb_orowcap, cfg.n_at)
+            extra = dict(orow_idx=orow,
+                         orow_over=jnp.maximum(state.orow_over, n_orow))
         return state.replace(
             nbr_idx=idx, nbr_ref=state.pos, nbr2_idx=idx2,
             nbr_over=jnp.maximum(state.nbr_over, nmax),
             nbr2_over=jnp.maximum(state.nbr2_over, nmax2),
             cell_overflow=jnp.maximum(state.cell_overflow, occ),
-            **_rowcomp_updates(cfg, state, idx))
+            **extra, **_rowcomp_updates(cfg, state, idx))
     idx, nmax, occ = ops_nbr.build_neighbors(cfg, state.pos)
     return state.replace(
         **_rowcomp_updates(cfg, state, idx),
@@ -93,9 +101,12 @@ def refine_neighbors_state(cfg, state):
     if cfg.nb_rowcap:
         # row-first: select occupied rows before building their lists
         # (the (N, K2) top_k + (N*K) gathers were ~3 ms of the 4.4 ms
-        # refine at 40k atoms; the row-domain ops are ~free)
+        # refine at 40k atoms; the row-domain ops are ~free).  With
+        # nb_orowcap the phase-1 sweep runs over the outer-occupied
+        # rows recorded at the last full rebuild instead of all N.
         idx, nbrow, nmax, n_rows = ops_nbr.refine_neighbors_rows(
-            cfg, state.pos, state.nbr2_idx, cfg.nb_rowcap)
+            cfg, state.pos, state.nbr2_idx, cfg.nb_rowcap,
+            orow=state.orow_idx if cfg.nb_orowcap else None)
         return state.replace(
             nbr_idx=idx, nbr_ref=state.pos,
             nbr_over=jnp.maximum(state.nbr_over, nmax),

@@ -216,6 +216,63 @@ def test_refine_rows_matches_refine_plus_compact():
     assert (b[~occupied] == cfg.n_at).all()
 
 
+def test_refine_rows_orow_matches_full_sweep():
+    """Outer-row-compacted refine (orow=...): scanning only the rows
+    with >=1 outer entry is EXACT — empty outer rows refine to empty
+    inner rows — so idx/nbrow/counters bitwise-match the full (N, K2)
+    sweep."""
+    cfg, pos = _rand_system(seed=31)
+    icfg = dataclasses.replace(cfg, n_neigh=6, nb_skin=0.6)
+    idx2, _, _, _ = nbr.build_neighbors_keys(cfg, pos)
+
+    a_idx, a_rows, a_max, a_n = nbr.refine_neighbors_rows(
+        icfg, pos, idx2, 128)
+
+    n_outer = int((np.asarray(idx2) != cfg.n_at).any(axis=1).sum())
+    orow, n_orow = nbr.compact_orows(idx2, n_outer + 16, cfg.n_at)
+    assert int(n_orow) == n_outer
+    b_idx, b_rows, b_max, b_n = nbr.refine_neighbors_rows(
+        icfg, pos, idx2, 128, orow=orow)
+
+    assert int(a_max) == int(b_max)
+    assert int(a_n) == int(b_n)
+    assert np.array_equal(np.asarray(a_rows), np.asarray(b_rows))
+    assert np.array_equal(np.asarray(a_idx), np.asarray(b_idx))
+
+
+def test_multi_step_orowcap_trajectory_exact():
+    """The full scanned step with the outer-row-compacted refine is
+    trajectory-identical to the plain rowcap path (same positions and
+    velocities bit for bit), and the orow monitor reports the true
+    outer-occupied count."""
+    from aztotmd_tpu.io.atoms import AtomsData
+    from aztotmd_tpu.runtime.setup import build_system
+    from aztotmd_tpu.runtime.step import make_multi_step
+    _, pos = _dilute_system(seed=11, n_close=10)
+    box = 160.0
+    ctl = lj_control(box, temp=30.0)
+    ctl.init_vel = 1
+    ctl.tstat.temp = 30.0
+    atoms = AtomsData(names=["Ar"] * len(pos), pos=pos % box,
+                      box=(box, box, box))
+    cfg, ff, state, aux = build_system(ctl, lj_field(rcut=4.0), atoms,
+                                       dtype="f32",
+                                       pair_engine="neighbor")
+    assert cfg.nb_rowcap > 0 and cfg.nb_outer > 1
+    N = cfg.n_at
+    o_cap = 256
+    cfg_o = dataclasses.replace(cfg, nb_orowcap=o_cap)
+    import jax.numpy as jnp
+    state_o = state.replace(
+        orow_idx=jnp.full((o_cap,), N, jnp.int32))
+    s1 = make_multi_step(cfg_o, aux, donate=False)(state_o, ff, 60)
+    s0 = make_multi_step(cfg, aux, donate=False)(state, ff, 60)
+    assert np.array_equal(np.asarray(s1.pos), np.asarray(s0.pos))
+    assert np.array_equal(np.asarray(s1.vel), np.asarray(s0.vel))
+    assert int(s1.orow_over) > 0
+    assert int(s1.orow_over) >= int(s1.nbrow_over)
+
+
 def test_refine_rows_overflow_drops_highest_rows():
     """Beyond r_cap both paths drop the HIGHEST-index rows and report
     the true count for the runner's regrow monitor."""
