@@ -590,6 +590,124 @@ def pair_forces_allpairs(cfg, ff, pos, types, radii=None, parents=None,
                       jump_idx=jump_idx, jump_r2=jump_r2)
 
 
+def pair_forces_allpairs_rect(cfg, ff, pos_i, types_i, valid_i,
+                              pos_j, types_j, valid_j,
+                              radii_i=None, radii_j=None,
+                              interpret: bool | None = None,
+                              tile: int = 512):
+    """Rectangular dense pair pass: forces on the Ni i-side slots from
+    all Nj j-side slots, reusing `_allpairs_kernel` unchanged.
+
+    The i-side slots MUST be the first Ni j-side slots (locals-first
+    layout) so the kernel's global-diagonal self-exclusion ``gi == gj``
+    keeps skipping exactly the self pairs.  The slab mesh pair pass
+    (parallel.slab._pair_pass_dense) calls this with i = owned slots
+    and j = [owned slots; neighbour-slab halos]: every unordered pair
+    is then visited once per endpoint device, so the kernel's 0.5
+    per-visit energy weights psum to exact totals, and each i row
+    receives its full force sum locally (no force psum needed).  The
+    kernel's full-box min-image handles the periodic wrap, so halo
+    coordinates need no shifting.  Invalid slots ride the ``valid``
+    masks (vm product zero; `_tile_physics` sanitizes masked r2).
+
+    Returns (frc_i (Ni, 3), e_vdw, e_coul) — per-device partial
+    energies, each 0.5-weighted per visited ordered pair.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dt = pos_i.dtype
+    f32 = jnp.float32
+    nsp = cfg.n_spec
+    Ni, Nj = pos_i.shape[0], pos_j.shape[0]
+    T = min(tile, _round_up_int(Ni, 128), _round_up_int(Nj, 128))
+    ni_pad = _round_up_int(Ni, T)
+    nj_pad = _round_up_int(Nj, T)
+    n_ti, n_tj = ni_pad // T, nj_pad // T
+    use_radii = bool(cfg.use_radii and radii_i is not None)
+    use_coul = cfg.elec_type != ELEC_NONE
+
+    def flat(a, n_pad, fill=0.0, dtype=f32):
+        a = a.astype(dtype)
+        if n_pad - a.shape[0]:
+            a = jnp.concatenate(
+                [a, jnp.full((n_pad - a.shape[0],), fill, dtype)])
+        return a
+
+    def cols(a):
+        return a.reshape(n_ti, T, 1)
+
+    def rows(a):
+        return a.reshape(n_tj, 1, T)
+
+    prm = jnp.zeros((nsp * nsp, 8), f32)
+    prm = prm.at[:, 0:5].set(ff.vdw_p.reshape(-1, 5).astype(f32))
+    prm = prm.at[:, 5].set((ff.chprod.reshape(-1)
+                            * cfg.coul_scale).astype(f32))
+    prm = prm.at[:, 6].set(ff.vdw_r2cut.reshape(-1).astype(f32))
+    donacc = ff.spec_donacc.reshape(nsp, 1).astype(jnp.int32)
+
+    ispec = lambda: pl.BlockSpec((1, T, 1), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    jspec = lambda: pl.BlockSpec((1, 1, T), lambda i, j: (j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    ospec = lambda: pl.BlockSpec((1, T, 1), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    ins = [prm, donacc]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    for (p3, t1, v1, r1, n_pad, shape, spec) in (
+            (pos_i, types_i, valid_i, radii_i, ni_pad, cols, ispec),
+            (pos_j, types_j, valid_j, radii_j, nj_pad, rows, jspec)):
+        ins += [shape(flat(p3[:, 0], n_pad)),
+                shape(flat(p3[:, 1], n_pad)),
+                shape(flat(p3[:, 2], n_pad)),
+                shape(flat(v1.astype(f32), n_pad))]
+        in_specs += [spec() for _ in range(4)]
+        if nsp > 1:
+            ins.append(shape(flat(t1, n_pad, 0, jnp.int32)))
+            in_specs.append(spec())
+        if use_radii:
+            ins.append(shape(flat(r1, n_pad, 1.0)))
+            in_specs.append(spec())
+
+    def kern(params_ref, donacc_ref, *refs):
+        half = (len(refs) - 5) // 2
+
+        def unpack(rs):
+            rs = list(rs)
+            x, y, z, v = rs[:4]
+            k = 4
+            t = r = None
+            if nsp > 1:
+                t = rs[k]; k += 1
+            if use_radii:
+                r = rs[k]; k += 1
+            return x, y, z, v, t, r, None
+
+        iside = unpack(refs[:half])
+        jside = unpack(refs[half:2 * half])
+        outs = refs[2 * half:]
+        _allpairs_kernel(cfg, T, nsp, use_coul, use_radii, False, False,
+                         params_ref, donacc_ref, *iside, *jside,
+                         *outs, ())
+
+    out_shape = [jax.ShapeDtypeStruct((n_ti, T, 1), f32)
+                 for _ in range(5)]
+    out_specs = [ospec() for _ in range(5)]
+    fx, fy, fz, ev, ec = pl.pallas_call(
+        kern,
+        grid=(n_ti, n_tj),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+    frc = jnp.stack([fx.reshape(-1)[:Ni], fy.reshape(-1)[:Ni],
+                     fz.reshape(-1)[:Ni]], axis=1).astype(dt)
+    return frc, jnp.sum(ev).astype(dt), jnp.sum(ec).astype(dt)
+
+
 def pair_forces_pallas(cfg, ff, pos, types, radii=None, parents=None,
                        want_bind: bool = False,
                        want_jump: bool = False,

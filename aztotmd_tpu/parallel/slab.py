@@ -173,22 +173,31 @@ def prepare_slab_cfg(cfg, n_dev: int):
         grid = dataclasses.replace(
             grid, dims=(ncx,) + grid.dims[1:],
             edge=(cfg.box[0] / ncx,) + grid.edge[1:])
-    if cfg.pair_engine in ("pallas", "sparse"):
-        # cost-model guard (VERDICT r3 item 9): the slab pair pass is
-        # block-style only, so a dense/clustered deck that auto-selected
-        # the dense-N^2 or Morton-sparse kernel on one chip pays
-        # ~27*cap^2 slot-pair ops per cell here — make the regime change
-        # loud instead of silently 10x slower
+    from .slab_react import reactive_mode
+    engine = "block"
+    if cfg.pair_engine in ("pallas", "sparse") and not reactive_mode(cfg):
+        # dense/clustered decks keep a dense pair pass on the mesh:
+        # `_pair_pass_dense` runs the tiled rectangular Pallas kernel
+        # over [own; adjacent-slab halos] at O(3 * C^2) slot pairs per
+        # device — the same trade the single-chip dense kernel wins on
+        # these decks — instead of the block pass's ~27 * cap^2 per
+        # cell (the round-3 cost-model guard warned here; round 4
+        # routes instead).  Morton-sparse decks ride the same path:
+        # per-device C = N/D * cap_factor keeps the dense cost bounded,
+        # and the worklist machinery doesn't compose with slab halos.
+        # REACTIVE clustered decks stay on the block pass: the mesh
+        # reactive tests pin near-exact trajectories vs single-chip,
+        # and the dense kernel's different f32 sum order amplifies
+        # chaotically past those bounds by a few hundred steps.
         import sys
-        print(f"WARNING: deck auto-selected the '{cfg.pair_engine}' "
-              f"pair engine (dense/clustered regime) but the slab mesh "
-              f"implements the cell-block pass only: ~27*cap^2 = "
-              f"{27 * grid.cap ** 2} slot-pair ops per cell per step "
-              f"(cap={grid.cap}).  A single chip with the dense kernel "
-              "may outrun the mesh on this deck; `--mesh-mode atoms` "
-              "keeps the dense/sparse kernel (atom-sharded pair pass).",
+        engine = "pallas"
+        print(f"slab mesh: '{cfg.pair_engine}' deck routed to the "
+              f"dense rectangular pair pass "
+              f"(~{3 * slab_caps(cfg, n_dev)[0] ** 2} slot pairs/device"
+              f"/step vs ~27*cap^2 = {27 * grid.cap ** 2} per cell "
+              "on the block path)",
               file=sys.stderr)
-    cfg = dataclasses.replace(cfg, grid=grid, pair_engine="block")
+    cfg = dataclasses.replace(cfg, grid=grid, pair_engine=engine)
     check_slab_cfg(cfg, n_dev)
     return cfg
 
@@ -226,6 +235,12 @@ def make_slab_state(cfg, state, mesh: Mesh, cap_factor: float = 1.6):
     scale_x = dt.type(ncx / cfg.box[0])
     cx = np.floor(pos[:, 0] * scale_x).astype(np.int64) % ncx
     dev_of = cx // nloc
+    # clustered decks can pile most of the deck into one slab (cs2's
+    # 21 A cluster: ~89% of the atoms in one half of the box) — grow
+    # the slot capacity to the observed worst slab plus headroom for
+    # early migration drift instead of failing
+    occ0 = int(np.bincount(dev_of, minlength=n_dev).max())
+    C = max(C, _round_up(occ0 + occ0 // 8 + 8, 8))
 
     def alloc(shape, dtype, fill=0):
         return np.full((n_dev * C,) + shape, fill, dtype)
@@ -573,13 +588,64 @@ def _bonded_pass(cfg, ff, n_dev, st_dict, valid):
 
 
 # ----------------------------------------------------------------------
+def _pair_pass_dense(cfg, ff, n_dev, st_dict, valid):
+    """Dense rectangular pair pass for clustered/dense decks on the
+    slab mesh (pair_engine 'pallas'/'sparse' routed here by
+    prepare_slab_cfg): forces on owned slots from [own; left-slab;
+    right-slab] full-slab halos via the dense tiled Pallas kernel
+    (ops.pallas_pair.pair_forces_allpairs_rect).  Cell edge >= cutoff
+    (check_slab_cfg) makes the two adjacent slabs a superset of every
+    in-range partner; the kernel's full-box min-image handles the
+    periodic wrap, so halo coordinates need no shifting.  n_dev == 2:
+    left == right neighbour — exchange one halo copy only (the block
+    pass's degenerate-ring rule, otherwise every cross-slab pair is
+    double-counted).  Per-device cost is O(C * 3C) slot pairs vs the
+    block pass's 27 * cap^2 * n_cell — the same trade the single-chip
+    dense kernel wins on clustered decks (cuPairs.cu:220-270 regime).
+    Returns (frc (C,3), e_vdw, e_coul, occ=0) — same contract as
+    `_pair_pass` (energies need the caller's psum)."""
+    from ..ops.pallas_pair import pair_forces_allpairs_rect
+    pos, types = st_dict["pos"], st_dict["types"]
+    use_radii = bool(cfg.use_radii)
+    # invalid slots carry radii = 0: Surkov's 1/(p2*ra + p3*rb) is inf
+    # there, and 0 * inf = NaN survives the masked energy sum (the
+    # round-3 padding lesson) — sanitize to 1.0 before the halo
+    radii = jnp.where(valid, st_dict["radii"], 1.0) if use_radii \
+        else None
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    own = (pos, types, valid, radii)
+    parts = [own]
+    for prm in ([right] if n_dev == 2 else [right, left]):
+        parts.append(tuple(
+            None if a is None else jax.lax.ppermute(a, AXIS, prm)
+            for a in own))
+    pos_j = jnp.concatenate([p[0] for p in parts])
+    types_j = jnp.concatenate([p[1] for p in parts])
+    valid_j = jnp.concatenate([p[2] for p in parts])
+    radii_j = jnp.concatenate([p[3] for p in parts]) if use_radii \
+        else None
+    frc, e_vdw, e_coul = pair_forces_allpairs_rect(
+        cfg, ff, pos, types, valid, pos_j, types_j, valid_j,
+        radii_i=radii, radii_j=radii_j)
+    frc = jnp.where(valid[:, None], frc, 0.0)
+    return frc, e_vdw, e_coul, jnp.zeros((), jnp.int32)
+
+
 def _pair_pass(cfg, ff, n_dev, st_dict, valid):
     """Bin local atoms, halo-exchange boundary planes, run the stencil
-    pair pass.  Returns (frc (C,3), e_vdw, e_coul, occ) — per-device
+    pair pass.  Dense/clustered decks (pair_engine 'pallas', routed by
+    prepare_slab_cfg) go to `_pair_pass_dense`; the cell-block stencil
+    path below handles the rest.  Returns (frc (C,3), e_vdw, e_coul,
+    occ) — per-device
     locals; energies need a psum by the caller; occ is the max per-cell
     occupancy (rank >= cap atoms get NO pair force — the caller must
     monitor occ against grid.cap like the single-device cell_overflow
     path, runner._check_overflow)."""
+    if cfg.pair_engine == "pallas" and cfg.dtype != "f64":
+        # f64 validation mode stays on the XLA block path below (the
+        # Mosaic kernels compute f32 — see pair_forces_pallas)
+        return _pair_pass_dense(cfg, ff, n_dev, st_dict, valid)
     grid = cfg.grid
     ncx, ncy, ncz = grid.dims
     cap = grid.cap

@@ -828,11 +828,12 @@ def test_runner_mig_defer_escalates_after_repeated_checks(tmp_path):
     r.finalize()
 
 
-def test_slab_cost_model_warns_on_clustered_deck(capsys):
-    """VERDICT r3 item 9: a deck that auto-selected the dense/sparse
-    engine on one chip must not silently become ~10x slower under the
-    slab mesh's block-only pair pass — prepare_slab_cfg warns with the
-    cap^2 cost estimate."""
+def test_slab_cost_model_routes_clustered_deck(capsys):
+    """VERDICT r3 item 9 (round-4 upgrade): a deck that auto-selected
+    the dense/sparse engine on one chip keeps a dense pair pass on the
+    slab mesh — prepare_slab_cfg routes it to `_pair_pass_dense` and
+    says so, instead of silently paying ~27*cap^2 per cell on the
+    block path."""
     import os
     from aztotmd_tpu.parallel.slab import prepare_slab_cfg
     from aztotmd_tpu.runtime.setup import load_deck_dir
@@ -842,9 +843,121 @@ def test_slab_cost_model_warns_on_clustered_deck(capsys):
     cfg = load_deck_dir(deck, dtype="f32")["cfg"]
     assert cfg.pair_engine == "sparse"
     c2 = prepare_slab_cfg(cfg, 2)
-    assert c2.pair_engine == "block"
+    assert c2.pair_engine == "pallas"
     err = capsys.readouterr().err
-    assert "cell-block pass only" in err and "cap^2" in err
+    assert "dense rectangular pair pass" in err
 
-    # the dilute cs1-style regime stays silent
+    # the dilute cs1-style regime stays on the block path, silently
     capsys.readouterr()
+
+
+def _clustered_slab_system(n_dev=4, seed=11):
+    """Two 6x6x6 jittered LJ clusters spanning slab boundaries in a
+    dilute 40 A box — the dense/clustered regime that routes to the
+    slab dense rectangular pair pass (`_pair_pass_dense`)."""
+    import dataclasses
+    from aztotmd_tpu.parallel import slab
+
+    n_side = 6
+    n_at = 2 * n_side ** 3
+    box = 40.0
+    cfg, ff, state, aux = build_lj_argon(n_atoms=n_at,
+                                         density=n_at / box ** 3,
+                                         dtype="f32", seed=seed,
+                                         temp=30.0)
+    assert abs(cfg.box[0] - box) < 1e-6
+    rng = np.random.default_rng(seed)
+    g = np.arange(n_side) * 3.6
+    lat = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    pos = np.concatenate([lat + np.array([2.0, 2.0, 2.0]),
+                          lat + np.array([20.0, 18.0, 16.0])])
+    pos = (pos + rng.uniform(-0.25, 0.25, (n_at, 3))) % box
+    pos = pos.astype(np.float32)
+    cfg = dataclasses.replace(cfg, pair_engine="pallas")
+    cfg = slab.prepare_slab_cfg(cfg, n_dev)
+    assert cfg.pair_engine == "pallas"      # dense slab path routed
+    state = state.replace(pos=jnp.asarray(pos),
+                          pos0=jnp.asarray(pos.copy()),
+                          nbr_ref=jnp.asarray(pos + 1e9))
+    return cfg, ff, state, aux
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_slab_dense_pair_matches_single_chip(n_dev):
+    """The slab dense rectangular pair pass (clustered decks under
+    `run --mesh N`) must track the single-chip dense kernel: same
+    forces/energies up to f32 sum-order roundoff.  n_dev=2 exercises
+    the degenerate ring (left == right neighbour — one halo copy, or
+    every cross-slab pair double-counts)."""
+    from aztotmd_tpu.parallel import slab
+    from aztotmd_tpu.runtime.step import make_multi_step
+
+    cfg, ff, state, aux = _clustered_slab_system(n_dev=n_dev)
+    mesh = make_mesh(n_dev, axis="x")
+    n_steps = 6
+
+    multi = make_multi_step(cfg, aux)
+    ref = multi(state, ff, n_steps)
+
+    sstate = slab.make_slab_state(cfg, state, mesh)
+    smulti = slab.make_slab_multi_step(cfg, aux, mesh)
+    out = smulti(sstate, ff, n_steps)
+
+    assert int(out.step) == n_steps
+    assert int(out.mig_lost) == 0
+    g = slab.gather_state(out, cfg.n_at)
+    vscale = float(np.abs(np.asarray(ref.vel)).max()) or 1.0
+    fscale = float(np.abs(np.asarray(ref.frc)).max()) or 1.0
+    np.testing.assert_allclose(g["pos"], np.asarray(ref.pos),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(g["vel"], np.asarray(ref.vel),
+                               rtol=0, atol=1e-4 * vscale)
+    np.testing.assert_allclose(g["frc"], np.asarray(ref.frc),
+                               rtol=0, atol=1e-4 * fscale)
+    assert float(out.energies.vdw) == pytest.approx(
+        float(ref.energies.vdw), rel=3e-4, abs=1e-6)
+    assert float(out.energies.tot) == pytest.approx(
+        float(ref.energies.tot), rel=3e-4, abs=1e-6)
+
+
+def test_slab_dense_cs2_matches_single_chip():
+    """Case study 2 itself (clustered Surkov + Fennel + radiative
+    thermostat — the deck the dense slab path exists for) on a
+    2-device mesh vs the single-chip dense kernel: radii halos,
+    multi-species params, and the thermostat's counter-keyed RNG must
+    all survive the decomposition."""
+    import dataclasses
+    from aztotmd_tpu.parallel import slab
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+    from aztotmd_tpu.runtime.step import make_multi_step
+
+    sysd = load_deck_dir("/root/reference/case study 2", dtype="f32")
+    cfg, ff, state, aux = (sysd["cfg"], sysd["ff"], sysd["state"],
+                           sysd["aux"])
+    assert cfg.pair_engine == "pallas" and cfg.use_radii
+    cfg = slab.prepare_slab_cfg(cfg, 2)
+    assert cfg.pair_engine == "pallas"
+    mesh = make_mesh(2, axis="x")
+    n_steps = 5
+
+    multi = make_multi_step(cfg, aux)
+    ref = multi(state, ff, n_steps)
+
+    sstate = slab.make_slab_state(cfg, state, mesh)
+    smulti = slab.make_slab_multi_step(cfg, aux, mesh)
+    out = smulti(sstate, ff, n_steps)
+
+    assert int(out.mig_lost) == 0
+    g = slab.gather_state(out, cfg.n_at)
+    vscale = float(np.abs(np.asarray(ref.vel)).max()) or 1.0
+    np.testing.assert_allclose(g["pos"], np.asarray(ref.pos),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(g["vel"], np.asarray(ref.vel),
+                               rtol=0, atol=2e-4 * vscale)
+    np.testing.assert_allclose(g["radii"], np.asarray(ref.radii),
+                               rtol=0, atol=1e-5)
+    assert float(out.energies.vdw) == pytest.approx(
+        float(ref.energies.vdw), rel=5e-4, abs=1e-5)
+    assert float(out.energies.coul1) == pytest.approx(
+        float(ref.energies.coul1), rel=5e-4, abs=1e-5)
