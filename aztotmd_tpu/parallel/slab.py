@@ -175,7 +175,11 @@ def prepare_slab_cfg(cfg, n_dev: int):
             edge=(cfg.box[0] / ncx,) + grid.edge[1:])
     from .slab_react import reactive_mode
     engine = "block"
-    if cfg.pair_engine in ("pallas", "sparse") and not reactive_mode(cfg):
+    if (cfg.pair_engine in ("pallas", "sparse") and not reactive_mode(cfg)
+            and cfg.dtype != "f64"):
+        # f64 validation decks stay on the block path (the Mosaic
+        # kernels compute f32 — _pair_pass makes the same check, and
+        # the routing message below must match what actually runs)
         # dense/clustered decks keep a dense pair pass on the mesh:
         # `_pair_pass_dense` runs the tiled rectangular Pallas kernel
         # over [own; adjacent-slab halos] at O(3 * C^2) slot pairs per
@@ -191,11 +195,14 @@ def prepare_slab_cfg(cfg, n_dev: int):
         # chaotically past those bounds by a few hundred steps.
         import sys
         engine = "pallas"
+        n_halo = 2 if n_dev == 2 else 3
         print(f"slab mesh: '{cfg.pair_engine}' deck routed to the "
               f"dense rectangular pair pass "
-              f"(~{3 * slab_caps(cfg, n_dev)[0] ** 2} slot pairs/device"
-              f"/step vs ~27*cap^2 = {27 * grid.cap ** 2} per cell "
-              "on the block path)",
+              f"(>={n_halo * slab_caps(cfg, n_dev)[0] ** 2} slot pairs/"
+              f"device/step — lower bound: make_slab_state grows the "
+              f"slot cap C to the observed worst-slab occupancy, up to "
+              f"C~N on heavily clustered decks — vs ~27*cap^2 = "
+              f"{27 * grid.cap ** 2} per cell on the block path)",
               file=sys.stderr)
     cfg = dataclasses.replace(cfg, grid=grid, pair_engine=engine)
     check_slab_cfg(cfg, n_dev)
@@ -612,11 +619,14 @@ def _pair_pass_dense(cfg, ff, n_dev, st_dict, valid):
     # round-3 padding lesson) — sanitize to 1.0 before the halo
     radii = jnp.where(valid, st_dict["radii"], 1.0) if use_radii \
         else None
-    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    # perms named by what ARRIVES (the halo() convention below):
+    # (i, i+1) sends i's slab rightward, so each device receives its
+    # LEFT neighbour's slab
+    from_left = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    from_right = [(i, (i - 1) % n_dev) for i in range(n_dev)]
     own = (pos, types, valid, radii)
     parts = [own]
-    for prm in ([right] if n_dev == 2 else [right, left]):
+    for prm in ([from_left] if n_dev == 2 else [from_left, from_right]):
         parts.append(tuple(
             None if a is None else jax.lax.ppermute(a, AXIS, prm)
             for a in own))

@@ -51,6 +51,77 @@ def lattice_positions(n_atoms: int, density: float,
     return pos % box, box
 
 
+def write_lj_deck(path, n_side=9, box=40.0, steps=300, seed=5):
+    """Write a small Ar LJ text deck (radiative tstat + RDF) at `path`
+    — the runner-level fixture used by tests and dryrun_multichip.
+    Format: the reference's three-file deck (sys_init.cpp:1036)."""
+    import os
+    rng = np.random.default_rng(seed)
+    g = (np.arange(n_side) + 0.5) * (box / n_side)
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    pos += rng.uniform(-0.4, 0.4, pos.shape)
+    with open(os.path.join(path, "atoms.xyz"), "w") as f:
+        f.write(f"{len(pos)}\n1 {box:.6f} {box:.6f} {box:.6f}\n")
+        for p in pos:
+            f.write(f"Ar\t{p[0]:.6f}\t{p[1]:.6f}\t{p[2]:.6f}\n")
+    with open(os.path.join(path, "control.txt"), "w") as f:
+        f.write(f"""timestep 0.001 ps
+nstep {steps}
+nequil  0
+eqfreq 100
+temperature 60.0\tradi\t0.2
+init_vel\tzero\t0.0332
+permittivity  1.0
+elec\tfenn\t4.0\t0.4\t6\t6\t6
+rdf\t6.0   0.05\t50\t0\tnucl
+stat\t100
+""")
+    with open(os.path.join(path, "field.txt"), "w") as f:
+        f.write("""spec 1
+Ar\tAr\t39.9\t0.0\t0.0
+red-ox 0
+vdw 1
+Ar\tAr\tlnjs\t4.0    0.01006\t3.3952
+""")
+
+
+def clustered_slab_system(n_dev=4, seed=11):
+    """Two 6x6x6 jittered LJ clusters spanning slab boundaries in a
+    dilute 40 A box — the dense/clustered regime that routes to the
+    slab dense rectangular pair pass (parallel.slab._pair_pass_dense).
+    Returns (cfg, ff, state, aux) with cfg already slab-prepared."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from .parallel import slab
+
+    n_side = 6
+    n_at = 2 * n_side ** 3
+    box = 40.0
+    cfg, ff, state, aux = build_lj_argon(n_atoms=n_at,
+                                         density=n_at / box ** 3,
+                                         dtype="f32", seed=seed,
+                                         temp=30.0)
+    assert abs(cfg.box[0] - box) < 1e-6
+    rng = np.random.default_rng(seed)
+    g = np.arange(n_side) * 3.6
+    lat = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    pos = np.concatenate([lat + np.array([2.0, 2.0, 2.0]),
+                          lat + np.array([20.0, 18.0, 16.0])])
+    pos = (pos + rng.uniform(-0.25, 0.25, (n_at, 3))) % box
+    pos = pos.astype(np.float32)
+    cfg = dataclasses.replace(cfg, pair_engine="pallas")
+    cfg = slab.prepare_slab_cfg(cfg, n_dev)
+    assert cfg.pair_engine == "pallas"      # dense slab path routed
+    state = state.replace(pos=jnp.asarray(pos),
+                          pos0=jnp.asarray(pos.copy()),
+                          nbr_ref=jnp.asarray(pos + 1e9))
+    return cfg, ff, state, aux
+
+
 def build_lj_argon(n_atoms: int = 4096, density: float = 0.012,
                    temp: float = 120.0, rcut: float = 4.0,
                    tstat: int = TSTAT_NONE, dt: float = 0.001,
