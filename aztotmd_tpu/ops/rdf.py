@@ -353,6 +353,112 @@ def rdf_list_cfg(cfg, rcfg: RdfConfig, max_cells: int = 1 << 20):
                                nb_skin=rcfg.skin, r_max=r_rdf)
 
 
+def rdf_refine_rows(cfg, rcfg: RdfConfig, pos, nbr2, reach: float,
+                    r_cap: int, k_rdf: int):
+    """Per-stat-period RDF candidate compaction for the rdf_from_outer
+    ring cadence (runtime/runner.py:_build_programs).
+
+    The outer Verlet list (N, K2) covers the RDF reach for a whole
+    superblock, but at dilute densities most rows have NO entry within
+    r_rdf + one-period drift — cs1's thermalized gas keeps ~60% of its
+    40000 rows empty at the 19 A refine reach, and the per-sample
+    (N, K2, 3) gather was 4.8 ms x 16 per superblock (the single
+    biggest ring-overhead item, round-5 attribution).  One refine at
+    the stat-period start selects the rows with >=1 entry within
+    ``reach`` (= r_rdf + drift bound over the period, the same
+    nb_skin/nb_rebuild rate bound that sizes k_super) and trims each
+    to its k_rdf nearest candidates; the period's samples then walk
+    only (r_cap, k_rdf).
+
+    Exactness: a pair within r_rdf at ANY sample of the period is
+    within ``reach`` of the period start (drift bound), hence in the
+    refined table unless r_cap/k_rdf truncated it — truncation is
+    reported, monitored and regrown by the runner (packed into
+    rdf_over, see below).
+
+    Returns (tbl (r_cap, 1 + k_rdf) int32 [row id | candidates],
+    over): ``over`` packs the TRUE requirements as
+    n_rows_needed * 1024 + max_entries_per_row for the single
+    rdf_over monitor slot (int32-safe to n_at ~ 2e6).
+    """
+    N = cfg.n_at
+    K2 = nbr2.shape[1]
+    dt = pos.dtype
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    box = jnp.asarray(cfg.box, dt)
+    d = pos[:, None, :] - pos_p[nbr2]
+    d = d - box * jnp.round(d / box)
+    r2 = jnp.sum(d * d, axis=-1)
+    mask = (nbr2 != N) & (r2 <= reach * reach)
+    n_in = jnp.sum(mask, axis=1)
+    has = n_in > 0
+    n_rows = jnp.sum(has, dtype=jnp.int32)
+    k_need = jnp.max(n_in).astype(jnp.int32)
+
+    # occupied rows ascending: full sort of the (N,) key (top_k at
+    # k ~ N/2 is much slower than one bitonic sort at these sizes)
+    key = jnp.where(has, jnp.arange(N, dtype=jnp.int32), N)
+    rows = jax.lax.sort(key)[:r_cap]
+
+    # per selected row: the k_rdf nearest in-reach candidates (same
+    # top_k construction as refine_neighbors; sentinel N)
+    cand_p = jnp.concatenate([nbr2, jnp.full((1, K2), N, jnp.int32)],
+                             axis=0)
+    cr = cand_p[rows]                                     # (r_cap, K2)
+    mask_p = jnp.concatenate([mask, jnp.zeros((1, K2), bool)], axis=0)
+    r2_p = jnp.concatenate([r2, jnp.full((1, K2), jnp.inf, dt)], axis=0)
+    mr = mask_p[rows]
+    r2r = jnp.where(mr, r2_p[rows], jnp.inf)
+    kk = min(k_rdf, K2)
+    _, cols = jax.lax.top_k(-r2r.astype(jnp.float32), kk)
+    ridx = jnp.arange(rows.shape[0], dtype=jnp.int32)[:, None]
+    idx_r = jnp.where(jnp.take_along_axis(mr, cols, axis=1),
+                      cr[ridx, cols], N).astype(jnp.int32)
+    if kk < k_rdf:
+        idx_r = jnp.concatenate(
+            [idx_r, jnp.full((rows.shape[0], k_rdf - kk), N, jnp.int32)],
+            axis=1)
+    tbl = jnp.concatenate([rows[:, None], idx_r], axis=1)
+    over = n_rows * jnp.int32(1024) + jnp.minimum(k_need, 1023)
+    return tbl, over
+
+
+def rdf_sample_rows(cfg, rcfg: RdfConfig, pos, types, spec_number,
+                    spec_nuclei, nucl_number, tbl, hist, nhist=None):
+    """Accumulate one RDF sample from a row-compacted candidate table
+    (rdf_refine_rows).  Counts are exactly rdf_sample_list's when the
+    caps sufficed: pair (i, j), i < j, within r_rdf lands once on row
+    i (the cand > own mask below), and the f32 count accumulation is
+    integer-exact, so the histograms match bitwise."""
+    N = cfg.n_at
+    dt = pos.dtype
+    rows = tbl[:, 0]
+    cand = tbl[:, 1:]
+    box = jnp.asarray(cfg.box, dt)
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
+    d = pos_p[rows][:, None, :] - pos_p[cand]
+    d = d - box * jnp.round(d / box)
+    r2 = jnp.sum(d * d, axis=-1)
+
+    mask = (cand != N) & (cand > rows[:, None]) & (r2 < rcfg.r2_max)
+
+    r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+    ib = jnp.minimum((r / rcfg.d_rdf).astype(jnp.int32), rcfg.n_bin - 1)
+    if rcfg.n_spec == 1:
+        ip = 0
+    else:
+        types_p = jnp.concatenate([types, jnp.zeros((1,), jnp.int32)],
+                                  axis=0)
+        ip = pair_index(rcfg.n_spec, types_p[rows][:, None],
+                        types_p[cand])
+
+    B = rcfg.n_bin * rcfg.n_pair
+    flat = jnp.where(mask, ib * rcfg.n_pair + ip, B)
+    counts = _hist_counts(flat, B, dt).reshape(rcfg.n_bin, rcfg.n_pair)
+    return _apply_weights(cfg, rcfg, counts, spec_number, spec_nuclei,
+                          nucl_number, hist, nhist)
+
+
 def rdf_sample_list(cfg, rcfg: RdfConfig, pos, types, spec_number,
                     spec_nuclei, nucl_number, nbr, hist, nhist=None):
     """Accumulate one RDF sample from a prebuilt (N, k_cap) neighbor

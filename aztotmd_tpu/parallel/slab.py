@@ -1203,7 +1203,9 @@ def _make_local_stat_row(cfg, spec_counts0, pos0):
             st.cross_neg.reshape(-1),
             n_bond[None], n_jump[None], j_pos[None], j_neg[None],
             jnp.stack([st.slab_occ, st.mig_lost, st.mig_defer,
-                       st.bond_miss]),
+                       st.bond_miss, jnp.zeros((), jnp.int32),
+                       jnp.zeros((), jnp.int32),
+                       jnp.zeros((), jnp.int32)]),
             bt_count,
         ]).astype(jnp.int32)
         return frow, irow

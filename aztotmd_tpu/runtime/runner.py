@@ -404,26 +404,80 @@ class MDRunner:
                 k_force = (cfg.nb_outer * cfg.nb_rebuild) // p_stat
                 k_super = min(k_rdf, k_force)
                 rdf_from_outer = k_super >= 1
+            # Row-compacted RDF sampling (round 5): in rdf_from_outer
+            # mode every sample walked the full (N, K2) outer list, but
+            # at dilute densities most rows have no entry within
+            # r_rdf + one-period drift (cs1: ~60% empty at the 19 A
+            # refine reach; the 16 samples x 4.8 ms gather per
+            # superblock were the biggest ring-overhead item, round-5
+            # attribution).  One rdf_refine_rows per stat period
+            # compacts to (rowcap, 1 + rowk); truncation is monitored
+            # through the packed rdf_over slot and regrown in
+            # _check_overflow.
+            rdf_rows = False
+            rdf_reach = 0.0
+            if rdf_from_outer:
+                rho = cfg.nb_skin / max(cfg.nb_rebuild, 1)
+                rdf_reach = math.sqrt(rcfg.r2_max) + rho * p_stat
+                if not hasattr(self, "_rdf_rowcap"):
+                    from ..core.config import _neigh_stats, _round_up
+                    mx, frac = _neigh_stats(self.atoms.pos, cfg.box,
+                                            rdf_reach)
+                    # headroom: occupied-row count fluctuates like a
+                    # binomial (sigma ~ sqrt(N) at these fractions), so
+                    # a few-sigma + constant pad suffices — a fat 1.5x
+                    # multiplier pushed cs1 over the 70% gate for no
+                    # benefit (the monitor regrows on real overflow)
+                    self._rdf_rowcap = min(
+                        cfg.n_at,
+                        _round_up(int(frac * cfg.n_at)
+                                  + 6 * int(math.sqrt(cfg.n_at)) + 512,
+                                  256))
+                    self._rdf_rowk = max(4, min(
+                        cfg.n_neigh2, _round_up(mx + mx // 2 + 4, 4)))
+                rdf_rows = (cfg.n_at >= 4096
+                            and self._rdf_rowcap <= (7 * cfg.n_at) // 10
+                            and cfg.n_neigh2 <= 1023
+                            and not os.environ.get("AZTOTMD_NO_RDF_ROWS"))
+            self._rdf_rows_on = rdf_rows
+            rdf_rowcap = getattr(self, "_rdf_rowcap", 0)
+            rdf_rowk = getattr(self, "_rdf_rowk", 0)
             self._ring_plan = {
                 "refine_blocks": refine_blocks,
                 "rdf_covers_outer": rdf_covers_outer,
                 "rdf_from_outer": rdf_from_outer,
                 "k_super": k_super,
+                "rdf_rows": rdf_rows,
+                "rdf_rowcap": rdf_rowcap if rdf_rows else 0,
+                "rdf_rowk": rdf_rowk if rdf_rows else 0,
             }
 
             def stat_block(s, h, nh, ff):
                 if rdf_from_outer:
                     # nbr2_idx is fresh at superblock start (see ring)
                     # and constant through the period
-                    nbr = s.nbr2_idx
+                    if rdf_rows:
+                        tbl, rover = ops_rdf.rdf_refine_rows(
+                            cfg, rcfg, s.pos, s.nbr2_idx, rdf_reach,
+                            rdf_rowcap, rdf_rowk)
+                        s = s.replace(rdf_over=jax.numpy.maximum(
+                            s.rdf_over, rover))
+                    else:
+                        nbr = s.nbr2_idx
 
                     def body(c, _):
                         s, h, nh = c
                         s = base_refine(s, ff, p_rdf)
-                        h, nh = ops_rdf.rdf_sample_list(
-                            cfg, rcfg, s.pos, s.types, s.spec_number,
-                            self._spec_nuclei, self._nucl_number,
-                            nbr, h, nh)
+                        if rdf_rows:
+                            h, nh = ops_rdf.rdf_sample_rows(
+                                cfg, rcfg, s.pos, s.types, s.spec_number,
+                                self._spec_nuclei, self._nucl_number,
+                                tbl, h, nh)
+                        else:
+                            h, nh = ops_rdf.rdf_sample_list(
+                                cfg, rcfg, s.pos, s.types, s.spec_number,
+                                self._spec_nuclei, self._nucl_number,
+                                nbr, h, nh)
                         return (s, h, nh), None
                     (s, h, nh), _ = jax.lax.scan(
                         body, (s, h, nh), None, length=p_stat // p_rdf)
@@ -691,7 +745,10 @@ class MDRunner:
                 miss=int(over[3]))
         self._decode_rows(fr, ir)
         self._check_overflow(int(over[0]), int(over[1]), int(over[2]),
-                             nbrow_over=int(over[3]))
+                             nbrow_over=int(over[3]),
+                             nbr2_over=int(over[4]),
+                             rdf_over=int(over[5]),
+                             orow_over=int(over[6]))
 
     def _decode_rows(self, fr, ir):
         fsl, isl = self._fsl, self._isl
@@ -1097,7 +1154,8 @@ class MDRunner:
         self._build_programs()
 
     def _check_overflow(self, occ=None, nbr_over=None, nbr_viol=None,
-                        rdf_over=None, nbrow_over=None):
+                        rdf_over=None, nbrow_over=None, nbr2_over=None,
+                        orow_over=None):
         if self.mesh is not None:
             return self._check_slab_health()
         """Monitored rebucket path: the reference corrupts memory on cell
@@ -1162,7 +1220,8 @@ class MDRunner:
                         nbr_ref=self.state.nbr_ref + 1e9)
                     self._build_programs()
             if self.cfg.nb_orowcap:
-                oover = int(self.state.orow_over)
+                oover = int(self.state.orow_over) if orow_over is None \
+                    else orow_over
                 if oover > self.cfg.nb_orowcap:
                     from ..core.config import _round_up
                     new_cap = min(_round_up(oover + max(128, oover // 4),
@@ -1179,7 +1238,8 @@ class MDRunner:
                         nbr_ref=self.state.nbr_ref + 1e9)
                     self._build_programs()
             if self.cfg.nb_outer > 1:
-                over2 = int(self.state.nbr2_over)
+                over2 = int(self.state.nbr2_over) if nbr2_over is None \
+                    else nbr2_over
                 if over2 > self.cfg.n_neigh2:
                     from ..core.config import _round_up
                     new_k2 = _round_up(over2 + max(4, over2 // 4), 8)
@@ -1194,10 +1254,41 @@ class MDRunner:
                         nbr2_idx=jax.numpy.asarray(pad2),
                         nbr_ref=self.state.nbr_ref + 1e9)
                     self._build_programs()
+        # row-compacted RDF sampling (rdf_from_outer + rdf_rows mode):
+        # rdf_over packs n_rows_needed * 1024 + max_entries_per_row
+        # (ops/rdf.py:rdf_refine_rows).  The packed max can shadow a
+        # smaller-row/larger-k window, but any persisting overflow is
+        # re-reported by the next flush, so growth still converges.
+        if getattr(self, "_rdf_rows_on", False):
+            import dataclasses
+            from ..core.config import _round_up
+            rover = int(self.state.rdf_over) if rdf_over is None \
+                else rdf_over
+            rows_need, k_need = rover // 1024, rover % 1024
+            grew = False
+            if rows_need > self._rdf_rowcap:
+                new_cap = min(_round_up(rows_need + max(256,
+                                                        rows_need // 4),
+                                        256), self.cfg.n_at)
+                print(f"WARNING: RDF-occupied row count {rows_need} "
+                      f"exceeded capacity {self._rdf_rowcap}; rebuilding "
+                      f"with rdf_rowcap={new_cap}", file=sys.stderr)
+                self._rdf_rowcap = new_cap
+                grew = True
+            if k_need > self._rdf_rowk:
+                new_k = min(_round_up(k_need + max(4, k_need // 4), 4),
+                            self.cfg.n_neigh2)
+                print(f"WARNING: RDF per-row entry count {k_need} "
+                      f"exceeded capacity {self._rdf_rowk}; rebuilding "
+                      f"with rdf_rowk={new_k}", file=sys.stderr)
+                self._rdf_rowk = new_k
+                grew = True
+            if grew:
+                self._build_programs()
         # ring-mode RDF list capacity (first-K truncation would silently
         # drop in-range pairs — and pair forces too when the outer
         # Verlet list is refined from it)
-        if self.rcfg is not None and self.rcfg.k_cap > 0:
+        elif self.rcfg is not None and self.rcfg.k_cap > 0:
             rover = int(self.state.rdf_over) if rdf_over is None \
                 else rdf_over
             if rover > self.rcfg.k_cap:

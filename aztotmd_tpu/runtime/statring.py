@@ -33,7 +33,7 @@ def make_layout(n_spec: int, n_bt: int):
     isl, off = {}, 0
     for name, w in [("step", 1), ("spec", n_spec), ("cpos", 3 * n_spec),
                     ("cneg", 3 * n_spec), ("nbond", 1), ("njump", 1),
-                    ("jpos", 1), ("jneg", 1), ("over", 4), ("btc", n_bt)]:
+                    ("jpos", 1), ("jneg", 1), ("over", 7), ("btc", n_bt)]:
         isl[name] = slice(off, off + w)
         off += w
     return fsl, nf, isl, off
@@ -84,8 +84,14 @@ def make_stat_row(cfg, spec_counts0):
             state.cross_neg.reshape(-1),
             state.n_bond[None], state.n_jump[None],
             state.jump_pos[None], state.jump_neg[None],
+            # ALL monitors ride the row: reading any of them as a bare
+            # int(state.x) in the flush path costs a blocking ~100-400
+            # ms d2h round trip over the axon tunnel (three of them per
+            # flush measured ~1-3 s of a 33 s cs1 production loop)
             jnp.stack([state.cell_overflow, state.nbr_over,
-                       state.nbr_viol, state.nbrow_over]),
+                       state.nbr_viol, state.nbrow_over,
+                       state.nbr2_over, state.rdf_over,
+                       state.orow_over]),
             state.bt_count,
         ]).astype(jnp.int32)
         return frow, irow

@@ -100,6 +100,17 @@ def test_case1_1000step_ring_stat_and_rdf_digest(case1_dir, tmp_path):
         assert s[row, 4] == pytest.approx(vdw, abs=1e-9)
         assert s[row, 7] == pytest.approx(term, rel=1e-5)
 
+    # reservoir-anchored band, NOT self-referential: the radiative
+    # thermostat's stationary engTemp is N * 5 kB T / 9 (see
+    # tests/test_thermostat_stat.py for the derivation; cuTemp.cu:
+    # 689-773 semantics) = 570.69 eV for 40000 atoms at 298 K.  The
+    # stationary per-atom std is 0.225 kT (-> 0.04% of the sum), so a
+    # 1% band is ~25 sigma wide yet still pins the physics to the
+    # reservoir setting.
+    from aztotmd_tpu import units
+    pred = 40000 * 5.0 * units.KB * 298.0 / 9.0
+    assert np.all(np.abs(s[:, 7] / pred - 1.0) < 0.01), s[:, 7]
+
     g = np.loadtxt(tmp_path / "rdf.dat", skiprows=2)
     assert g.shape == (699, 2)
     assert float(g[:, 1].sum()) == pytest.approx(481.961, rel=1e-4)
@@ -138,6 +149,14 @@ def test_case2_1000step_ring_stat_and_rdf_digest(case2_dir, tmp_path):
         assert s[row, 3] == pytest.approx(kin, rel=2e-4)
         assert s[row, 4] == pytest.approx(vdw, rel=2e-5)
         assert s[row, 7] == pytest.approx(term, rel=1e-5)
+
+    # reservoir-anchored engTemp band (see the cs1 digest note):
+    # 4000 atoms at 500 K -> 4000 * 5 kB T / 9 = 95.74 eV; the trace
+    # sits at 95.69 (-0.06%).  1% band = ~8 sigma of the stationary
+    # fluctuation at N=4000.
+    from aztotmd_tpu import units
+    pred = 4000 * 5.0 * units.KB * 500.0 / 9.0
+    assert np.all(np.abs(s[:, 7] / pred - 1.0) < 0.01), s[:, 7]
 
     g = np.loadtxt(tmp_path / "rdf.dat", skiprows=2)
     assert g.shape == (399, 2)

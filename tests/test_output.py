@@ -267,3 +267,99 @@ def test_rdf_counts_rows_partition_sums_to_allpairs():
     sn = np.asarray(state.spec_number, np.float64)
     w = 2.0 * float(np.prod(cfg.box)) / (sn[0] * sn[0])
     np.testing.assert_array_equal(total * w, np.asarray(want))
+
+
+def test_rdf_rows_matches_list_sampling():
+    """rdf_refine_rows + rdf_sample_rows (the round-5 row-compacted
+    per-stat-period RDF path) must reproduce rdf_sample_list's
+    histogram BITWISE when the caps suffice: counts are integer-exact
+    in f32 and every in-range pair lands once on its smaller-id row in
+    both paths (ops/rdf.py docstrings)."""
+    import dataclasses
+    from aztotmd_tpu.ops.neighbors import build_outer_neighbors
+
+    cfg, ff, state, aux = build_lj_argon(n_atoms=4096, density=1.4e-3,
+                                         dtype="f32", seed=3)
+    # a two-level-list-like view: outer reach well past the RDF reach
+    cfg2 = dataclasses.replace(cfg, n_neigh2=24, nb_skin2=8.0)
+    nbr2, _, _ = build_outer_neighbors(cfg2, state.pos)
+
+    from aztotmd_tpu.core.config import make_cell_grid
+    # the LJ lattice keeps min pair distance ~8.5 A at this density:
+    # r_rdf must reach past it for a populated histogram
+    r_rdf, d_rdf = 10.0, 0.1
+    grid = make_cell_grid(cfg.box, r_rdf, cfg.n_at)
+    rcfg = ops_rdf.RdfConfig(n_bin=int(r_rdf / d_rdf), d_rdf=d_rdf,
+                             r2_max=r_rdf * r_rdf, n_spec=1, n_nucl=1,
+                             nuclei=False, grid=grid)
+    spec_nuclei = jnp.zeros((1,), jnp.int32)
+    nucl_number = jnp.asarray([cfg.n_at], jnp.int32)
+    h0, _ = ops_rdf.zero_hist(rcfg)
+
+    ha, _ = ops_rdf.rdf_sample_list(cfg, rcfg, state.pos, state.types,
+                                    state.spec_number, spec_nuclei,
+                                    nucl_number, nbr2, h0, None)
+
+    reach = r_rdf + 1.0
+    tbl, over = ops_rdf.rdf_refine_rows(cfg, rcfg, state.pos, nbr2,
+                                        reach, r_cap=4096, k_rdf=16)
+    rows_need, k_need = int(over) // 1024, int(over) % 1024
+    assert 0 < rows_need <= 4096 and 0 < k_need <= 16, (rows_need, k_need)
+    hb, _ = ops_rdf.rdf_sample_rows(cfg, rcfg, state.pos, state.types,
+                                    state.spec_number, spec_nuclei,
+                                    nucl_number, tbl, h0, None)
+    np.testing.assert_array_equal(np.asarray(ha), np.asarray(hb))
+    assert float(np.asarray(ha).sum()) > 0
+
+    # truncation is REPORTED: tiny caps must surface the true needs
+    tbl2, over2 = ops_rdf.rdf_refine_rows(cfg, rcfg, state.pos, nbr2,
+                                          reach, r_cap=8, k_rdf=2)
+    rn2, kn2 = int(over2) // 1024, int(over2) % 1024
+    assert rn2 == rows_need and kn2 == k_need
+
+
+def test_ring_rdf_rows_matches_disabled(tmp_path):
+    """End-to-end A/B: a dilute deck that engages the row-compacted
+    RDF ring path must write byte-identical rdf.dat / stat.dat with
+    the mode forced off (AZTOTMD_NO_RDF_ROWS)."""
+    from aztotmd_tpu.runtime.runner import run_deck
+    deck = str(tmp_path / "deck")
+    os.makedirs(deck)
+    # 16^3 = 4096 atoms, 12.7 A spacing, +-3 A jitter: most rows have
+    # no entry at the ~7 A refine reach (the rows gate cap <= 0.7 N
+    # engages) but the jitter puts a measurable pair population in
+    # range for the byte-equality check
+    n_side, spacing = 16, 12.7
+    box = n_side * spacing
+    g = np.arange(n_side) * spacing + 0.37 * spacing
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    pos += np.random.default_rng(4).uniform(-3.0, 3.0, pos.shape)
+    pos %= box
+    with open(os.path.join(deck, "atoms.xyz"), "w") as f:
+        f.write(f"{len(pos)}\n1 {box:.6f} {box:.6f} {box:.6f}\n")
+        for p in pos:
+            f.write(f"Ar\t{p[0]:.6f}\t{p[1]:.6f}\t{p[2]:.6f}\n")
+    open(os.path.join(deck, "field.txt"), "w").write(
+        "spec 1\nAr\tAr\t40.0\t0.0\t0.0\n"
+        "red-ox 0\nvdw 1\nAr\tAr\tlnjs\t4.0\t0.01\t3.4\n")
+    open(os.path.join(deck, "control.txt"), "w").write(
+        "timestep 0.0005 ps\nnstep 400\n"
+        "temperature 100.0\tnose\t0.5\ninit_vel\tgaus\n"
+        "permittivity 1.0\nelec\tnone\n"
+        "rdf\t6.0 0.05\t25\t0\t-nucl\nstat\t100\n")
+
+    out_a = str(tmp_path / "rows")
+    out_b = str(tmp_path / "norows")
+    r = run_deck(deck, out_dir=out_a, n_steps=400, quiet=True)
+    assert r._ring_plan.get("rdf_rows"), r._ring_plan
+    os.environ["AZTOTMD_NO_RDF_ROWS"] = "1"
+    try:
+        r2 = run_deck(deck, out_dir=out_b, n_steps=400, quiet=True)
+        assert not r2._ring_plan.get("rdf_rows"), r2._ring_plan
+        assert r2._ring_plan.get("rdf_from_outer"), r2._ring_plan
+    finally:
+        del os.environ["AZTOTMD_NO_RDF_ROWS"]
+    for f in ("rdf.dat", "stat.dat", "msd.dat"):
+        assert open(os.path.join(out_a, f)).read() == \
+            open(os.path.join(out_b, f)).read(), f"{f} differs"
