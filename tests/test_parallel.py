@@ -921,3 +921,24 @@ def test_slab_dense_cs2_matches_single_chip():
         float(ref.energies.vdw), rel=5e-4, abs=1e-5)
     assert float(out.energies.coul1) == pytest.approx(
         float(ref.energies.coul1), rel=5e-4, abs=1e-5)
+
+
+def test_max_devices_ceiling_per_deck():
+    """The 1D-slab device ceiling is a box-size limit (box_x / r_max
+    cutoff-wide slabs); prepare_slab_cfg must accept N at the ceiling
+    and reject N past it with a message naming the ceiling."""
+    import pytest as _pt
+    from aztotmd_tpu.parallel.slab import max_devices, prepare_slab_cfg
+    from aztotmd_tpu.systems import build_lj_argon
+
+    cfg, ff, state, aux = build_lj_argon(n_atoms=512, density=2e-3,
+                                         rcut=4.0, dtype="f32", seed=1)
+    md = max_devices(cfg)
+    assert md == int(cfg.box[0] / cfg.r_max)
+    assert md >= 2
+    # at the ceiling: accepted (grid re-derived at cutoff-wide cells)
+    c_ok = prepare_slab_cfg(cfg, md)
+    assert c_ok.grid.dims[0] % md == 0
+    # past it: rejected, the message tells the user the ceiling
+    with _pt.raises(ValueError, match=f"--mesh {md}"):
+        prepare_slab_cfg(cfg, md + 3)
