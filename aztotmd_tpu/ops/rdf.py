@@ -220,6 +220,50 @@ def rdf_counts_rows(cfg, rcfg: RdfConfig, row_pos, row_gid, row_types,
     return _hist_counts(flat, B, dt).reshape(rcfg.n_bin, rcfg.n_pair)
 
 
+def rdf_counts_rows_cells(cfg, rcfg: RdfConfig, row_pos, row_gid,
+                          row_types, pos_g, types_g):
+    """Cell-candidate variant of rdf_counts_rows for LARGE N: the
+    rows-vs-global broadcast is O(C * N) (a 41-billion-element array at
+    320k atoms / 4 devices — found by the round-5 mesh scale probe),
+    while the per-row candidate sweep over the RDF cell grid is
+    O(C * stencil * cap).
+
+    Each device bins the GLOBAL position table on the RDF grid
+    (replicated O(N) compute, same table on every device) and gathers
+    candidates only for its own row set.  Pair dedup is by global id
+    (row_gid < candidate id), identical to rdf_counts_rows /
+    rdf_sample, so summing over disjoint row sets reproduces the
+    single-chip integer counts exactly.
+    """
+    import dataclasses
+    dt = pos_g.dtype
+    N = pos_g.shape[0]
+    gcfg = dataclasses.replace(cfg, grid=rcfg.grid, n_at=N)
+    table, _ = cl.build_cell_table(gcfg, pos_g)
+    coords = cl.cell_coords(gcfg, row_pos)
+    cand = cl.gather_candidates(gcfg, table, coords)       # (C, M)
+
+    box = jnp.asarray(cfg.box, dt)
+    pos_p = jnp.concatenate([pos_g, jnp.zeros((1, 3), dt)], axis=0)
+    d = row_pos[:, None, :] - pos_p[cand]
+    d = d - box * jnp.round(d / box)
+    r2 = jnp.sum(d * d, axis=-1)
+
+    mask = (cand != N) & (row_gid[:, None] >= 0) \
+        & (row_gid[:, None] < cand) & (r2 < rcfg.r2_max)
+    r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+    ib = jnp.minimum((r / rcfg.d_rdf).astype(jnp.int32), rcfg.n_bin - 1)
+    if rcfg.n_spec == 1:
+        ip = 0
+    else:
+        types_p = jnp.concatenate([types_g, jnp.zeros((1,), jnp.int32)],
+                                  axis=0)
+        ip = pair_index(rcfg.n_spec, row_types[:, None], types_p[cand])
+    B = rcfg.n_bin * rcfg.n_pair
+    flat = jnp.where(mask, ib * rcfg.n_pair + ip, B)
+    return _hist_counts(flat, B, dt).reshape(rcfg.n_bin, rcfg.n_pair)
+
+
 def rdf_sample(cfg, rcfg: RdfConfig, pos, types, spec_number,
                spec_nuclei, nucl_number, hist, nhist=None):
     """Accumulate one RDF sample into the histogram(s).

@@ -1071,13 +1071,24 @@ def _make_local_rdf_sample(cfg, rcfg, spec_nuclei, nucl_number):
     snuc = np.asarray(spec_nuclei, np.int32)
     nnum = np.asarray(nucl_number, np.int32)
 
+    # size gate, same rule as the single-chip rdf_sample dispatch: the
+    # rows-vs-global broadcast is O(C * N) (41e9 elements at 320k
+    # atoms / 4 devices — int32 overflow + impossible compute, found
+    # by tools/bench_mesh_bigN.py); past the point where the cell
+    # candidate matrix is smaller, sweep the RDF grid instead.
+    use_cells = N > len(rcfg.grid.stencil) * rcfg.grid.cap
+
     def local_sample(st, h, nh):
         valid = st.gid >= 0
         gid = jnp.where(valid, st.gid, -1)
         pos_g = assemble_global(N, st.gid, valid, st.pos, AXIS)
         types_g = assemble_global(N, st.gid, valid, st.types, AXIS)
-        counts = ops_rdf.rdf_counts_rows(cfg, rcfg, st.pos, gid,
-                                         st.types, pos_g, types_g)
+        if use_cells:
+            counts = ops_rdf.rdf_counts_rows_cells(
+                cfg, rcfg, st.pos, gid, st.types, pos_g, types_g)
+        else:
+            counts = ops_rdf.rdf_counts_rows(cfg, rcfg, st.pos, gid,
+                                             st.types, pos_g, types_g)
         counts = jax.lax.psum(counts, AXIS)
         # live species counts (reactive mutations change them) from
         # the OWNED valid slots — a gid lost to a migration deletion

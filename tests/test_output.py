@@ -363,3 +363,53 @@ def test_ring_rdf_rows_matches_disabled(tmp_path):
     for f in ("rdf.dat", "stat.dat", "msd.dat"):
         assert open(os.path.join(out_a, f)).read() == \
             open(os.path.join(out_b, f)).read(), f"{f} differs"
+
+
+def test_rdf_counts_rows_cells_matches_rows_partition():
+    """The O(C * stencil * cap) cell-candidate slab RDF
+    (ops.rdf.rdf_counts_rows_cells — the big-N replacement for the
+    O(C * N) rows-vs-global broadcast, round-5 mesh scale fix) must
+    produce the SAME per-device partial counts as rdf_counts_rows on
+    every row subset, and the partition must still sum to the
+    all-pairs histogram."""
+    cfg, ff, state, aux = build_lj_argon(n_atoms=240, density=0.012,
+                                         dtype="f64", seed=13)
+    from aztotmd_tpu.core.config import make_cell_grid
+    r_rdf, d_rdf = 6.0, 0.1
+    grid = make_cell_grid(cfg.box, r_rdf, cfg.n_at)
+    rcfg = ops_rdf.RdfConfig(n_bin=int(r_rdf / d_rdf), d_rdf=d_rdf,
+                             r2_max=r_rdf * r_rdf, n_spec=1, n_nucl=1,
+                             nuclei=False, grid=grid)
+    N = cfg.n_at
+    pos, types = state.pos, state.types
+
+    hist0, _ = ops_rdf.zero_hist(rcfg, jnp.float64)
+    want, _ = ops_rdf.rdf_sample_allpairs(
+        cfg, rcfg, pos, types, state.spec_number,
+        jnp.zeros((1,), jnp.int32), jnp.asarray([N], jnp.int32), hist0)
+
+    rng = np.random.default_rng(2)
+    perm = rng.permutation(N)
+    total = np.zeros((rcfg.n_bin, rcfg.n_pair))
+    C = N // 4 + 3
+    for d in range(4):
+        own = perm[d * (N // 4):(d + 1) * (N // 4)] if d < 3 \
+            else perm[3 * (N // 4):]
+        gid = np.full(C, -1, np.int32)
+        gid[:len(own)] = own
+        row_pos = np.zeros((C, 3))
+        row_pos[:len(own)] = np.asarray(pos)[own]
+        row_types = np.zeros(C, np.int32)
+        row_types[:len(own)] = np.asarray(types)[own]
+        a = ops_rdf.rdf_counts_rows(
+            cfg, rcfg, jnp.asarray(row_pos), jnp.asarray(gid),
+            jnp.asarray(row_types), pos, types)
+        b = ops_rdf.rdf_counts_rows_cells(
+            cfg, rcfg, jnp.asarray(row_pos), jnp.asarray(gid),
+            jnp.asarray(row_types), pos, types)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        total += np.asarray(b)
+
+    sn = np.asarray(state.spec_number, np.float64)
+    w = 2.0 * float(np.prod(cfg.box)) / (sn[0] * sn[0])
+    np.testing.assert_array_equal(total * w, np.asarray(want))

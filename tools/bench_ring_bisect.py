@@ -15,6 +15,10 @@ Measures, in one process (A/B/A pattern to catch tunnel drift):
 Run: env PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
      python tools/bench_ring_bisect.py
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -18,6 +18,10 @@ measurement so the ~30-100 ms tunnel round trip amortizes out:
 
 Run: timeout 1200 python tools/bench_ring_super.py  (TPU, serial, bg)
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

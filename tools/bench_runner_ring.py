@@ -8,6 +8,10 @@ program time from tunnel/dispatch plumbing.
 Run: env PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
      python tools/bench_runner_ring.py
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

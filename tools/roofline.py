@@ -21,6 +21,10 @@ i.e. the part more fusion would recover.
 Run: env PYTHONPATH=/root/repo:/root/.axon_site timeout 3500 \
      python tools/roofline.py
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 
