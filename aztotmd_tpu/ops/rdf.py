@@ -430,6 +430,12 @@ def rdf_refine_rows(cfg, rcfg: RdfConfig, pos, nbr2, reach: float,
     dt = pos.dtype
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), dt)], axis=0)
     box = jnp.asarray(cfg.box, dt)
+    # phase 1: per-row in-reach counts — the (N, K2, 3) gather fuses
+    # into the (N,) reduce, nothing (N, K2)-shaped is materialized
+    # (materializing r2/mask here and row-gathering them below was the
+    # first version: three (r_cap, K2) SoA gathers at ~6.6 ns/element
+    # cost MORE than the full-list sampling it replaced — recompute
+    # beats re-fetch, the same lesson as refine_neighbors_rows)
     d = pos[:, None, :] - pos_p[nbr2]
     d = d - box * jnp.round(d / box)
     r2 = jnp.sum(d * d, axis=-1)
@@ -439,22 +445,26 @@ def rdf_refine_rows(cfg, rcfg: RdfConfig, pos, nbr2, reach: float,
     n_rows = jnp.sum(has, dtype=jnp.int32)
     k_need = jnp.max(n_in).astype(jnp.int32)
 
-    # occupied rows ascending: full sort of the (N,) key (top_k at
-    # k ~ N/2 is much slower than one bitonic sort at these sizes)
+    # phase 2: occupied rows ascending — full sort of the (N,) key
+    # (top_k at k ~ N/2 is much slower than one bitonic sort here)
     key = jnp.where(has, jnp.arange(N, dtype=jnp.int32), N)
     rows = jax.lax.sort(key)[:r_cap]
 
-    # per selected row: the k_rdf nearest in-reach candidates (same
-    # top_k construction as refine_neighbors; sentinel N)
+    # phase 3: candidate ids for the selected rows (ONE whole-row int
+    # gather, 24 contiguous ints per fetch) and RECOMPUTED distances
+    # (AoS triple gathers at ~1.3 ns/element) — same arithmetic on the
+    # same values as phase 1, so the kept set is exact
     cand_p = jnp.concatenate([nbr2, jnp.full((1, K2), N, jnp.int32)],
                              axis=0)
     cr = cand_p[rows]                                     # (r_cap, K2)
-    mask_p = jnp.concatenate([mask, jnp.zeros((1, K2), bool)], axis=0)
-    r2_p = jnp.concatenate([r2, jnp.full((1, K2), jnp.inf, dt)], axis=0)
-    mr = mask_p[rows]
-    r2r = jnp.where(mr, r2_p[rows], jnp.inf)
+    pos_r = pos_p[jnp.minimum(rows, N)]
+    dr = pos_r[:, None, :] - pos_p[cr]
+    dr = dr - box * jnp.round(dr / box)
+    r2r = jnp.sum(dr * dr, axis=-1)
+    mr = (cr != N) & (r2r <= reach * reach)
+    r2m = jnp.where(mr, r2r, jnp.inf)
     kk = min(k_rdf, K2)
-    _, cols = jax.lax.top_k(-r2r.astype(jnp.float32), kk)
+    _, cols = jax.lax.top_k(-r2m.astype(jnp.float32), kk)
     ridx = jnp.arange(rows.shape[0], dtype=jnp.int32)[:, None]
     idx_r = jnp.where(jnp.take_along_axis(mr, cols, axis=1),
                       cr[ridx, cols], N).astype(jnp.int32)
