@@ -435,10 +435,17 @@ class MDRunner:
                                   256))
                     self._rdf_rowk = max(4, min(
                         cfg.n_neigh2, _round_up(mx + mx // 2 + 4, 4)))
+                # EXPERIMENTAL, opt-in: measured a net LOSS on cs1
+                # (2654 vs 3037 steps/s e2e, round 5) — the in-scan
+                # full-list rdf_sample_list fuses into the superblock
+                # well enough that the per-period refine + compact
+                # walk costs more than the gather it saves.  Kept
+                # (with bitwise-equality tests) for ultra-dilute
+                # regimes; enable with AZTOTMD_RDF_ROWS=1.
                 rdf_rows = (cfg.n_at >= 4096
                             and self._rdf_rowcap <= (7 * cfg.n_at) // 10
                             and cfg.n_neigh2 <= 1023
-                            and not os.environ.get("AZTOTMD_NO_RDF_ROWS"))
+                            and bool(os.environ.get("AZTOTMD_RDF_ROWS")))
             self._rdf_rows_on = rdf_rows
             rdf_rowcap = getattr(self, "_rdf_rowcap", 0)
             rdf_rowk = getattr(self, "_rdf_rowk", 0)

@@ -351,15 +351,15 @@ def test_ring_rdf_rows_matches_disabled(tmp_path):
 
     out_a = str(tmp_path / "rows")
     out_b = str(tmp_path / "norows")
-    r = run_deck(deck, out_dir=out_a, n_steps=400, quiet=True)
-    assert r._ring_plan.get("rdf_rows"), r._ring_plan
-    os.environ["AZTOTMD_NO_RDF_ROWS"] = "1"
+    os.environ["AZTOTMD_RDF_ROWS"] = "1"       # experimental opt-in
     try:
-        r2 = run_deck(deck, out_dir=out_b, n_steps=400, quiet=True)
-        assert not r2._ring_plan.get("rdf_rows"), r2._ring_plan
-        assert r2._ring_plan.get("rdf_from_outer"), r2._ring_plan
+        r = run_deck(deck, out_dir=out_a, n_steps=400, quiet=True)
+        assert r._ring_plan.get("rdf_rows"), r._ring_plan
     finally:
-        del os.environ["AZTOTMD_NO_RDF_ROWS"]
+        del os.environ["AZTOTMD_RDF_ROWS"]
+    r2 = run_deck(deck, out_dir=out_b, n_steps=400, quiet=True)
+    assert not r2._ring_plan.get("rdf_rows"), r2._ring_plan
+    assert r2._ring_plan.get("rdf_from_outer"), r2._ring_plan
     for f in ("rdf.dat", "stat.dat", "msd.dat"):
         assert open(os.path.join(out_a, f)).read() == \
             open(os.path.join(out_b, f)).read(), f"{f} differs"
