@@ -30,6 +30,7 @@ eJump\t0\t1.7\tmetr
 
 Ux\t\t0.0
 
+rdf\t14.0   0.02\t50\t500000\tnucl
 stat\t\t200
 """
 
