@@ -28,6 +28,17 @@ import jax                  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# local-host-only persistent cache: safe here (unlike the package-level
+# cache, which stays TPU-only because remote-service CPU executables
+# can be feature-mismatched) since every entry in THIS dir was compiled
+# by this host's own CPU backend.  Makes the second compile of the big
+# slab ring program (memory_analysis) and warm tool re-runs ~free.
+_cache = os.path.join(os.path.expanduser("~"), ".cache", "aztotmd_tpu",
+                      "xla_cpu_local")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def shard_bytes(tree):
     """(per-device bytes of sharded leaves, per-device bytes of
@@ -50,14 +61,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", type=int, default=2)
     ap.add_argument("--mesh", type=int, default=4)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=50)
     args = ap.parse_args()
 
     deck = f"/tmp/big_lj_t{args.tiles}_mesh"
     if not os.path.exists(os.path.join(deck, "atoms.xyz")):
+        # stat must be a multiple of the rdf period (50) or the stat
+        # ring disengages (runner.ring_ok); stat=50 keeps one full ring
+        # period affordable on the 1-core CPU mesh (~5-10 s/step at
+        # 320k/4dev)
         subprocess.run([sys.executable, "tools/make_bigdeck.py",
                         "--tiles", str(args.tiles), "--out", deck,
-                        "--steps", "200", "--stat", "10"], check=True)
+                        "--steps", "400", "--stat", "50"], check=True)
 
     from aztotmd_tpu.runtime.runner import MDRunner
     from aztotmd_tpu.runtime.setup import load_deck_dir
