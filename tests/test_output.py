@@ -413,3 +413,53 @@ def test_rdf_counts_rows_cells_matches_rows_partition():
     sn = np.asarray(state.spec_number, np.float64)
     w = 2.0 * float(np.prod(cfg.box)) / (sn[0] * sn[0])
     np.testing.assert_array_equal(total * w, np.asarray(want))
+
+
+def _tiny_deck(path, stat, fr_rdf, nstep=200):
+    """Minimal 27-atom LJ deck with parameterized stat/rdf cadences."""
+    os.makedirs(path, exist_ok=True)
+    n_side, spacing = 3, 8.0
+    box = n_side * spacing
+    g = np.arange(n_side) * spacing + 0.37 * spacing
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    with open(os.path.join(path, "atoms.xyz"), "w") as f:
+        f.write(f"{len(pos)}\n1 {box:.6f} {box:.6f} {box:.6f}\n")
+        for p in pos:
+            f.write(f"Ar\t{p[0]:.6f}\t{p[1]:.6f}\t{p[2]:.6f}\n")
+    open(os.path.join(path, "field.txt"), "w").write(
+        "spec 1\nAr\tAr\t40.0\t0.0\t0.0\n"
+        "red-ox 0\nvdw 1\nAr\tAr\tlnjs\t4.0\t0.01\t3.4\n")
+    open(os.path.join(path, "control.txt"), "w").write(
+        "timestep 0.0002 ps\n"
+        f"nstep {nstep}\n"
+        "temperature 100.0\tnose\t0.5\ninit_vel\tgaus\n"
+        "permittivity 1.0\nelec\tnone\n"
+        f"rdf\t6.0 0.05\t{fr_rdf}\t{10 * nstep}\t-nucl\n"
+        f"stat\t{stat}\n")
+
+
+@pytest.mark.parametrize("stat,fr_rdf,want_ring", [
+    (50, 50, True),    # rdf divides stat: ring engages
+    (100, 50, True),   # rdf sub-blocks inside the stat period
+    (10, 50, False),   # stat FINER than rdf: p_stat % p_rdf != 0
+])
+def test_ring_cadence_gate(tmp_path, stat, fr_rdf, want_ring):
+    """The on-device stat ring requires every rdf sub-block to fit
+    inside a stat period (p_stat % p_rdf == 0, runner.py ring_ok).
+    A stat-10/rdf-50 deck silently falls back to legacy per-period
+    host sampling — pin the gate so a cadence change can't silently
+    disengage the fast path (this bit tools/bench_mesh_bigN.py in
+    round 5: the 320k scale deck was generated with stat=10 and lost
+    the ring)."""
+    from aztotmd_tpu.runtime.runner import MDRunner
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+    deck = str(tmp_path / f"deck_{stat}_{fr_rdf}")
+    _tiny_deck(deck, stat=stat, fr_rdf=fr_rdf)
+    r = MDRunner(load_deck_dir(deck, dtype="f32"),
+                 out_dir=str(tmp_path / "out"), quiet=True)
+    assert r.ring_ok == want_ring
+    if want_ring:
+        # the ring must still deliver correct results at this cadence
+        r.run(100)
+        assert r.n_dispatch <= 100 // stat + 1
