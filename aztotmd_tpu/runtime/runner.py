@@ -439,9 +439,12 @@ class MDRunner:
                 # (2654 vs 3037 steps/s e2e, round 5) — the in-scan
                 # full-list rdf_sample_list fuses into the superblock
                 # well enough that the per-period refine + compact
-                # walk costs more than the gather it saves.  Kept
-                # (with bitwise-equality tests) for ultra-dilute
-                # regimes; enable with AZTOTMD_RDF_ROWS=1.
+                # walk costs more than the gather it saves.  Also a
+                # ~5% loss on the 27x-dilute deck (2147 vs 2254
+                # steps/s warm e2e, tools/make_dilute_deck.py), so no
+                # known workload wins; kept behind the env flag (with
+                # bitwise-equality tests) purely as a measured design
+                # point.  Enable with AZTOTMD_RDF_ROWS=1.
                 rdf_rows = (cfg.n_at >= 4096
                             and self._rdf_rowcap <= (7 * cfg.n_at) // 10
                             and cfg.n_neigh2 <= 1023
