@@ -447,6 +447,16 @@ def pair_forces_allpairs(cfg, ff, pos, types, radii=None, parents=None,
     nsp = cfg.n_spec
     f32 = jnp.float32
     T = min(tile, _round_up_int(N, 128))
+    if want_bind or want_jump:
+        # Fused candidate registration (per-role running minima, donor/
+        # acceptor masks, bonding/tpair tables) roughly doubles the
+        # kernel's live (T, T) working set: at T=384 with want_jump the
+        # Mosaic scoped-VMEM stack measured 19.56 MB against the 16 MB
+        # v5e limit (compile-time OOM on the ejump_redox example deck;
+        # round 5).  T=256 bounds the same working set at ~8.7 MB.
+        # Plain pair physics keeps the full tile (cs2's T=512 kernel
+        # measured fine — jump/bind are compile-time-off there).
+        T = min(T, 256)
     n_pad = _round_up_int(N, T)
     n_t = n_pad // T
     padn = n_pad - N
