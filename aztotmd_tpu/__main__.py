@@ -73,6 +73,13 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    if getattr(args, "dtype", None) == "f64":
+        # without x64, jnp.asarray silently truncates every f64 request
+        # to f32 (observed on the TPU backend, round 5) — the
+        # validation mode must actually validate
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
     if args.cmd == "run":
         from .runtime.runner import MDRunner
         from .runtime.setup import load_deck_dir

@@ -343,7 +343,11 @@ def _apply_weights(cfg, rcfg: RdfConfig, counts, spec_number, spec_nuclei,
     vol = jnp.asarray(cfg.volume, dt)
     num = spec_number.astype(dt)
     w_tab = 2.0 * vol / (num[iu] * num[ju])                # (n_pair,)
-    hist = hist + counts * w_tab[None, :]
+    # accumulate in the HISTOGRAM's dtype: the buffers are f32 ring
+    # carries, and an f64-mode sample (counts in the state dtype) must
+    # not promote them mid-scan (carry dtype mismatch, found on the
+    # first f64 run with x64 actually enabled, round 5)
+    hist = hist + (counts * w_tab[None, :]).astype(hist.dtype)
 
     if rcfg.nuclei and nhist is not None:
         # species-pair -> nucleus-pair fold: a (n_pair, n_npair) matrix
@@ -357,7 +361,7 @@ def _apply_weights(cfg, rcfg: RdfConfig, counts, spec_number, spec_nuclei,
                           * nnum[jnp.maximum(ni, nj)])
         fold = (inp[:, None] == jnp.arange(rcfg.n_npair)[None, :]) \
             .astype(dt) * nw[:, None]
-        nhist = nhist + counts @ fold
+        nhist = nhist + (counts @ fold).astype(nhist.dtype)
 
     return hist, nhist
 

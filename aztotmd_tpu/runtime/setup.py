@@ -109,6 +109,16 @@ def build_system(ctl: ControlSpec, fld, atoms, bonds=None, angles=None,
 def load_deck_dir(path, dtype: str = "f32", seed: int = 12345, **kw):
     """Load a reference deck directory (control.txt + field.txt + atoms.xyz
     [+ bonds.txt, angles.txt, cuda.txt])."""
+    if dtype == "f64":
+        import jax
+        if not jax.config.jax_enable_x64:
+            # jnp.asarray would silently truncate every array to f32
+            # (observed on the TPU backend) — fail loudly instead of
+            # "validating" in the precision under test
+            raise RuntimeError(
+                "dtype='f64' needs jax_enable_x64: set "
+                "jax.config.update('jax_enable_x64', True) before any "
+                "jax computation (the CLI does this for --dtype f64)")
     fld = parse_field_file(os.path.join(path, "field.txt"))
     ctl = parse_control_file(os.path.join(path, "control.txt"),
                              charged_spec=fld.charged_spec)

@@ -463,3 +463,22 @@ def test_ring_cadence_gate(tmp_path, stat, fr_rdf, want_ring):
         # the ring must still deliver correct results at this cadence
         r.run(100)
         assert r.n_dispatch <= 100 // stat + 1
+
+
+def test_ring_runs_f64_deck(tmp_path):
+    """f64 validation mode through the PRODUCTION ring path: the RDF
+    histogram buffers are f32 ring carries, and an f64-mode sample
+    must not promote them mid-scan (scan carry dtype mismatch — found
+    on the first f64 run with x64 actually enabled, round 5; fixed by
+    dtype-stable accumulation in ops.rdf._apply_weights)."""
+    from aztotmd_tpu.runtime.runner import MDRunner
+    from aztotmd_tpu.runtime.setup import load_deck_dir
+    deck = str(tmp_path / "deck_f64")
+    _tiny_deck(deck, stat=50, fr_rdf=50, nstep=100)
+    r = MDRunner(load_deck_dir(deck, dtype="f64"),
+                 out_dir=str(tmp_path / "out_f64"), quiet=True)
+    assert r.ring_ok
+    assert r.state.pos.dtype == jnp.float64
+    r.run(100)
+    s = open(str(tmp_path / "out_f64" / "stat.dat")).read()
+    assert len(s.splitlines()) >= 3          # header x2 + a stat row
